@@ -1,0 +1,543 @@
+"""Quantile-mapping model family, TPU-native.
+
+Re-designs the reference's quantile machinery
+(``/root/reference/skdownscale/pointwise_models/quantile.py``) as per-series
+functional cores (pure JAX, fixed shapes, vmappable over grid cells) plus
+thin sklearn-compatible class wrappers with the reference's public API:
+
+* :class:`CunnaneTransformer`  (``quantile.py:398-553``)
+* :class:`QuantileMapper`      (``quantile.py:46-157``)
+* :class:`QuantileMappingReressor`  [sic — the typo is public API]
+  (``quantile.py:160-395``)
+* :class:`EquidistantCdfMatcher`    (``quantile.py:556-636``)
+* :class:`TrendAwareQuantileMappingRegressor` (``quantile.py:639-716``)
+
+Known reference quirks handled deliberately:
+
+* ``QuantileMappingReressor.predict`` re-extrapolates out-of-range plotting
+  positions with a linear model fit in the (pp -> vals) direction but
+  *evaluated on vals* (``quantile.py:256-264``); replicated verbatim for
+  output parity.
+* ``EquidistantCdfMatcher`` with ``max_ratio`` uses ``np.min(ratio, max_ratio)``
+  (``quantile.py:624``) which crashes in numpy; we implement the evident
+  intent, ``np.minimum`` (elementwise clip).
+* ``CunnaneTransformer.transform`` tail extrapolation calls ``.values`` on an
+  ndarray (``quantile.py:497``) and would crash; we implement the evident
+  intent (extrapolate out-of-range queries by OLS over the end knots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cdf import SYNTHETIC_MAX, SYNTHETIC_MIN, Cdf, calc_extrapolated_cdf, plotting_positions
+from ..ops.regression import ols_1d
+from .base import SingleCellEstimator, SingleCellTransformer, asarray_2d
+from .trend import LinearTrendTransformer, TrendState, trend_fit, trend_line
+
+__all__ = [
+    "CunnaneTransformer",
+    "QuantileMapper",
+    "QuantileMappingReressor",
+    "EquidistantCdfMatcher",
+    "TrendAwareQuantileMappingRegressor",
+    # functional cores
+    "cunnane_fit",
+    "cunnane_transform",
+    "cunnane_inverse",
+    "qm_fit",
+    "qm_transform",
+    "qmr_fit",
+    "qmr_predict",
+    "edcdfm_predict",
+]
+
+_VALID_EXTRAPOLATE = (None, "1to1", "min", "max", "both")
+
+
+def _check_extrapolate(extrapolate):
+    if extrapolate not in _VALID_EXTRAPOLATE:
+        raise ValueError(f"unknown value for extrapolate: {extrapolate}")
+
+
+# ======================================================================
+# functional cores (single series, vmappable)
+# ======================================================================
+
+
+def cunnane_fit(x, alpha: float = 0.4, beta: float = 0.4) -> Cdf:
+    """``CunnaneTransformer.fit`` (``quantile.py:462``): pp + sorted values."""
+    n = x.shape[0]
+    return Cdf(plotting_positions(n, alpha, beta, dtype=x.dtype), jnp.sort(x))
+
+
+def _tail_ols_fill(res, query, table_x, table_y, n_endpoints: int):
+    """Replace ±inf entries of ``res`` with OLS tail extrapolations fit on the
+    first/last ``n_endpoints`` knots of (table_x -> table_y), evaluated at
+    ``query`` (``quantile.py:490-503`` / ``532-545``)."""
+    lo_s, lo_i = ols_1d(table_x[:n_endpoints], table_y[:n_endpoints])
+    hi_s, hi_i = ols_1d(table_x[-n_endpoints:], table_y[-n_endpoints:])
+    res = jnp.where(jnp.isneginf(res), lo_i + lo_s * query, res)
+    res = jnp.where(jnp.isposinf(res), hi_i + hi_s * query, res)
+    return res
+
+
+def cunnane_transform(cdf: Cdf, x, extrapolate="both", n_endpoints: int = 10):
+    """values -> plotting positions (``quantile.py:465-503``)."""
+    left = -jnp.inf if extrapolate in ("min", "both") else None
+    right = jnp.inf if extrapolate in ("max", "both") else None
+    pps = jnp.interp(x, cdf.vals, cdf.pp)
+    if left is not None:
+        pps = jnp.where(x < cdf.vals[0], left, pps)
+    if right is not None:
+        pps = jnp.where(x > cdf.vals[-1], right, pps)
+    if left is not None or right is not None:
+        pps = _tail_ols_fill(pps, x, cdf.vals, cdf.pp, n_endpoints)
+    return pps
+
+
+def cunnane_inverse(cdf: Cdf, q, extrapolate="both", n_endpoints: int = 10):
+    """plotting positions -> values (``quantile.py:523-545``)."""
+    left = -jnp.inf if extrapolate in ("min", "both") else None
+    right = jnp.inf if extrapolate in ("max", "both") else None
+    vals = jnp.interp(q, cdf.pp, cdf.vals)
+    if left is not None:
+        vals = jnp.where(q < cdf.pp[0], left, vals)
+    if right is not None:
+        vals = jnp.where(q > cdf.pp[-1], right, vals)
+    if left is not None or right is not None:
+        vals = _tail_ols_fill(vals, q, cdf.pp, cdf.vals, n_endpoints)
+    return vals
+
+
+class QmState(NamedTuple):
+    """Fitted state of :class:`QuantileMapper` as arrays (checkpointable)."""
+
+    cdf_pp: jnp.ndarray  # (n_fit,)
+    cdf_vals: jnp.ndarray  # (n_fit,)
+    trend_slope: jnp.ndarray  # () — zeros when detrend=False
+    trend_intercept: jnp.ndarray  # ()
+
+
+@functools.partial(jax.jit, static_argnames=("detrend", "alpha", "beta"))
+def qm_fit(x, *, detrend: bool = False, alpha: float = 0.4, beta: float = 0.4) -> QmState:
+    """``QuantileMapper.fit`` (``quantile.py:81-107``) on one (n,) series."""
+    if detrend:
+        tr = trend_fit(x)
+        x_to_cdf = x - trend_line(tr, x.shape[0], x.dtype)
+    else:
+        tr = TrendState(jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
+        x_to_cdf = x
+    cdf = cunnane_fit(x_to_cdf, alpha, beta)
+    return QmState(cdf.pp, cdf.vals, tr.slope, tr.intercept)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("detrend", "alpha", "beta", "extrapolate", "n_endpoints")
+)
+def qm_transform(
+    state: QmState,
+    x,
+    *,
+    detrend: bool = False,
+    alpha: float = 0.4,
+    beta: float = 0.4,
+    extrapolate="both",
+    n_endpoints: int = 10,
+):
+    """``QuantileMapper.transform`` (``quantile.py:109-147``): fresh CDF of the
+    new series -> plotting positions -> inverse through the stored fit CDF,
+    with optional detrend/retrend and intercept-bias reset."""
+    if detrend:
+        tr_new = trend_fit(x)
+        x_to_cdf = x - trend_line(tr_new, x.shape[0], x.dtype)
+    else:
+        x_to_cdf = x
+    fresh = cunnane_fit(x_to_cdf, alpha, beta)
+    x_quantiles = cunnane_transform(fresh, x_to_cdf, extrapolate, n_endpoints)
+    fit_cdf = Cdf(state.cdf_pp, state.cdf_vals)
+    x_qmapped = cunnane_inverse(fit_cdf, x_quantiles, extrapolate, n_endpoints)
+    if detrend:
+        x_qmapped = x_qmapped + trend_line(tr_new, x.shape[0], x.dtype)
+        # reset the baseline (quantile.py:145)
+        x_qmapped = x_qmapped - (tr_new.intercept - state.trend_intercept)
+    return x_qmapped
+
+
+class QmrState(NamedTuple):
+    """Fitted state of :class:`QuantileMappingReressor`: two extrapolated CDFs."""
+
+    x_pp: jnp.ndarray  # (nx+2,)
+    x_vals: jnp.ndarray
+    y_pp: jnp.ndarray  # (ny+2,)
+    y_vals: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("extrapolate", "n_endpoints"))
+def qmr_fit(x, y, *, extrapolate=None, n_endpoints: int = 10) -> QmrState:
+    """``QuantileMappingReressor.fit`` (``quantile.py:195-219``)."""
+    xc = calc_extrapolated_cdf(x, sort=True, extrapolate=extrapolate, n_endpoints=n_endpoints)
+    yc = calc_extrapolated_cdf(y, sort=True, extrapolate=extrapolate, n_endpoints=n_endpoints)
+    return QmrState(xc.pp, xc.vals, yc.pp, yc.vals)
+
+
+def _reextrapolate_pp(pp, vals, n_endpoints: int):
+    """The reference's out-of-range pp handling (``quantile.py:253-264``).
+
+    ``pp`` is non-decreasing with a possible ``-inf`` prefix and ``+inf``
+    suffix.  For each tail, an OLS model is fit on the ``n_endpoints`` knots
+    adjacent to the run — in the (pp -> vals) direction — and then *evaluated
+    on vals* (the reference's inverted usage, replicated for parity)."""
+    m = pp.shape[0]
+    neg = jnp.isneginf(pp)
+    pos = jnp.isposinf(pp)
+    c_lo = jnp.sum(neg).astype(jnp.int32)
+    c_hi = jnp.sum(pos).astype(jnp.int32)
+
+    pp_lo = jax.lax.dynamic_slice(pp, (c_lo,), (n_endpoints,))
+    vals_lo = jax.lax.dynamic_slice(vals, (c_lo,), (n_endpoints,))
+    s_lo, i_lo = ols_1d(pp_lo, vals_lo)
+    pred_lo = i_lo + s_lo * vals
+
+    start_hi = m - c_hi - n_endpoints
+    pp_hi = jax.lax.dynamic_slice(pp, (start_hi,), (n_endpoints,))
+    vals_hi = jax.lax.dynamic_slice(vals, (start_hi,), (n_endpoints,))
+    s_hi, i_hi = ols_1d(pp_hi, vals_hi)
+    pred_hi = i_hi + s_hi * vals
+
+    pp = jnp.where(neg, pred_lo, pp)
+    pp = jnp.where(pos, pred_hi, pp)
+    return pp
+
+
+def _extrapolate_1to1(state: QmrState, x, y_hat):
+    """``QuantileMappingReressor._extrapolate_1to1`` (``quantile.py:277-310``),
+    including the asymmetric under-min ``X_fit_len > y_fit_len`` branch as
+    written at ``quantile.py:305``."""
+    X_fit_len = state.x_vals.shape[0]
+    y_fit_len = state.y_vals.shape[0]
+    X_fit_min, X_fit_max = state.x_vals[0], state.x_vals[-1]
+    y_fit_min, y_fit_max = state.y_vals[0], state.y_vals[-1]
+
+    if X_fit_len == y_fit_len:
+        hi = y_fit_max + (x - X_fit_max)
+    elif X_fit_len > y_fit_len:
+        X_fit_at_y_fit_max = jnp.interp(state.y_pp[-1], state.x_pp, state.x_vals)
+        hi = y_fit_max + (x - X_fit_at_y_fit_max)
+    else:
+        y_fit_at_X_fit_max = jnp.interp(state.x_pp[-1], state.y_pp, state.y_vals)
+        hi = y_fit_at_X_fit_max + (x - X_fit_max)
+    y_hat = jnp.where(x > X_fit_max, hi, y_hat)
+
+    if X_fit_len == y_fit_len:
+        lo = y_fit_min + (x - X_fit_min)
+    elif X_fit_len > y_fit_len:
+        X_fit_at_y_fit_min = jnp.interp(state.y_pp[0], state.x_pp, state.x_vals)
+        lo = X_fit_min + (x - X_fit_at_y_fit_min)
+    else:
+        y_fit_at_X_fit_min = jnp.interp(state.x_pp[0], state.y_pp, state.y_vals)
+        lo = y_fit_at_X_fit_min + (x - X_fit_min)
+    y_hat = jnp.where(x < X_fit_min, lo, y_hat)
+    return y_hat
+
+
+@functools.partial(jax.jit, static_argnames=("extrapolate", "n_endpoints"))
+def qmr_predict(state: QmrState, x, *, extrapolate=None, n_endpoints: int = 10):
+    """``QuantileMappingReressor.predict`` (``quantile.py:221-275``)."""
+    sort_inds = jnp.argsort(x)
+    xs = x[sort_inds]
+    tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
+
+    pp = jnp.interp(tc.vals, state.x_vals, state.x_pp)
+    if extrapolate in ("min", "both"):
+        pp = jnp.where(tc.vals < state.x_vals[0], -jnp.inf, pp)
+    if extrapolate in ("max", "both"):
+        pp = jnp.where(tc.vals > state.x_vals[-1], jnp.inf, pp)
+    if extrapolate in ("min", "max", "both"):
+        pp = _reextrapolate_pp(pp, tc.vals, n_endpoints)
+
+    yhat_sorted = jnp.interp(pp, state.y_pp, state.y_vals)
+    y_hat = jnp.zeros_like(x).at[sort_inds].set(yhat_sorted[1:-1])
+    if extrapolate == "1to1":
+        y_hat = _extrapolate_1to1(state, x, y_hat)
+    return y_hat
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "extrapolate", "n_endpoints", "max_ratio"))
+def edcdfm_predict(
+    state: QmrState,
+    x,
+    *,
+    kind: str = "difference",
+    extrapolate=None,
+    n_endpoints: int = 10,
+    max_ratio: float | None = None,
+):
+    """``EquidistantCdfMatcher.predict`` (``quantile.py:594-636``): preserve
+    the per-quantile difference (or ratio) between test X and train X."""
+    sort_inds = jnp.argsort(x)
+    xs = x[sort_inds]
+    tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
+    X_train_vals = jnp.interp(tc.pp, state.x_pp, state.x_vals)
+    y_train_vals = jnp.interp(tc.pp, state.y_pp, state.y_vals)
+    if kind == "difference":
+        sorted_y_hat = y_train_vals + (tc.vals - X_train_vals)
+    else:  # 'ratio'
+        ratio = tc.vals / X_train_vals
+        if max_ratio is not None:
+            ratio = jnp.minimum(ratio, max_ratio)  # intent of quantile.py:624
+        sorted_y_hat = y_train_vals * ratio
+    y_hat = jnp.zeros_like(x).at[sort_inds].set(sorted_y_hat[1:-1])
+    if extrapolate == "1to1":
+        y_hat = _extrapolate_1to1(state, x, y_hat)
+    return y_hat
+
+
+# ======================================================================
+# sklearn-compatible wrappers
+# ======================================================================
+
+
+class CunnaneTransformer(SingleCellTransformer):
+    """API of ``quantile.py:398-553``; single feature only."""
+
+    _fit_attributes = ["cdf_"]
+
+    def __init__(self, *, alpha=0.4, beta=0.4, extrapolate="both", n_endpoints=10):
+        self.alpha = alpha
+        self.beta = beta
+        self.extrapolate = extrapolate
+        self.n_endpoints = n_endpoints
+
+    def fit(self, X, y=None):
+        _check_extrapolate(self.extrapolate)
+        arr = asarray_2d(X)
+        if arr.shape[1] > 1:
+            raise ValueError("CunnaneTransformer.fit() only supports a single feature")
+        cdf = jax.jit(cunnane_fit, static_argnames=("alpha", "beta"))(
+            jnp.asarray(arr[:, 0]), alpha=self.alpha, beta=self.beta
+        )
+        self.cdf_ = Cdf(np.asarray(cdf.pp), np.asarray(cdf.vals))
+        return self
+
+    def _cdf_dev(self):
+        return Cdf(jnp.asarray(self.cdf_.pp), jnp.asarray(self.cdf_.vals))
+
+    def transform(self, X):
+        self._check_is_fitted()
+        arr = asarray_2d(X)
+        if arr.shape[1] > 1:
+            raise ValueError("CunnaneTransformer.transform() only supports a single feature")
+        fn = jax.jit(cunnane_transform, static_argnames=("extrapolate", "n_endpoints"))
+        pps = fn(self._cdf_dev(), jnp.asarray(arr[:, 0]), self.extrapolate, self.n_endpoints)
+        return np.asarray(pps).reshape(-1, 1)
+
+    def inverse_transform(self, X):
+        self._check_is_fitted()
+        arr = asarray_2d(X)
+        fn = jax.jit(cunnane_inverse, static_argnames=("extrapolate", "n_endpoints"))
+        vals = fn(self._cdf_dev(), jnp.asarray(arr[:, 0]), self.extrapolate, self.n_endpoints)
+        return np.asarray(vals).reshape(-1, 1)
+
+
+class QuantileMapper(SingleCellTransformer):
+    """API of ``quantile.py:46-157``.
+
+    Parameters
+    ----------
+    detrend : bool
+        Detrend before mapping, retrend after (with intercept-bias reset).
+    lt_kwargs, qt_kwargs : dict, optional
+        Passed to the trend transformer / CunnaneTransformer.
+    """
+
+    _fit_attributes = ["x_cdf_fit_"]
+
+    def __init__(self, detrend=False, lt_kwargs=None, qt_kwargs=None):
+        self.detrend = detrend
+        self.lt_kwargs = lt_kwargs
+        self.qt_kwargs = qt_kwargs
+
+    def _qt_params(self):
+        kw = dict(self.qt_kwargs or {})
+        return {
+            "alpha": kw.get("alpha", 0.4),
+            "beta": kw.get("beta", 0.4),
+            "extrapolate": kw.get("extrapolate", "both"),
+            "n_endpoints": kw.get("n_endpoints", 10),
+        }
+
+    def fit(self, X, y=None):
+        X = self._validate_data(X, max_features=1)
+        arr = asarray_2d(X)
+        p = self._qt_params()
+        state = qm_fit(
+            jnp.asarray(arr[:, 0]), detrend=bool(self.detrend), alpha=p["alpha"], beta=p["beta"]
+        )
+        self._state = jax.tree_util.tree_map(np.asarray, state)
+        # expose a fitted CunnaneTransformer as the reference does (quantile.py:105)
+        qt = CunnaneTransformer(
+            alpha=p["alpha"], beta=p["beta"], extrapolate=p["extrapolate"], n_endpoints=p["n_endpoints"]
+        )
+        qt.cdf_ = Cdf(np.asarray(state.cdf_pp), np.asarray(state.cdf_vals))
+        self.x_cdf_fit_ = qt
+        return self
+
+    def transform(self, X):
+        self._check_is_fitted()
+        X = self._validate_data(X, reset=False)
+        arr = asarray_2d(X)
+        p = self._qt_params()
+        state = QmState(*[jnp.asarray(a) for a in self._state])
+        out = qm_transform(
+            state,
+            jnp.asarray(arr[:, 0]),
+            detrend=bool(self.detrend),
+            alpha=p["alpha"],
+            beta=p["beta"],
+            extrapolate=p["extrapolate"],
+            n_endpoints=p["n_endpoints"],
+        )
+        return np.asarray(out).reshape(-1, 1)
+
+
+class QuantileMappingReressor(SingleCellEstimator):
+    """API of ``quantile.py:160-395`` (class-name typo is public API,
+    ``__init__.py:11``)."""
+
+    _fit_attributes = ["_X_cdf", "_y_cdf"]
+    _allow_length_mismatch = True
+
+    def __init__(self, extrapolate=None, n_endpoints=10):
+        self.extrapolate = extrapolate
+        self.n_endpoints = n_endpoints
+        if self.n_endpoints < 2:
+            raise ValueError("Invalid number of n_endpoints, must be >= 2")
+
+    def _min_samples_check(self, arr, name):
+        need = 2 * self.n_endpoints + 1
+        if arr.shape[0] < need:
+            raise ValueError(
+                f"Found array with {arr.shape[0]} sample(s) in {name} while a "
+                f"minimum of {need} is required"
+            )
+
+    def fit(self, X, y, **kwargs):
+        _check_extrapolate(self.extrapolate)
+        Xa = asarray_2d(X)
+        ya = asarray_2d(y)
+        self._min_samples_check(Xa, "X")
+        self._min_samples_check(ya, "y")
+        if Xa.shape[1] > 1:
+            raise ValueError(
+                f"Found array with {Xa.shape[1]} features while a maximum of 1 is required"
+            )
+        self._check_n_features(Xa, reset=True)
+        state = qmr_fit(
+            jnp.asarray(Xa[:, 0]),
+            jnp.asarray(ya[:, 0]),
+            extrapolate=self.extrapolate,
+            n_endpoints=self.n_endpoints,
+        )
+        self._X_cdf = Cdf(np.asarray(state.x_pp), np.asarray(state.x_vals))
+        self._y_cdf = Cdf(np.asarray(state.y_pp), np.asarray(state.y_vals))
+        return self
+
+    def _state_dev(self) -> QmrState:
+        return QmrState(
+            jnp.asarray(self._X_cdf.pp),
+            jnp.asarray(self._X_cdf.vals),
+            jnp.asarray(self._y_cdf.pp),
+            jnp.asarray(self._y_cdf.vals),
+        )
+
+    def predict(self, X, **kwargs):
+        self._check_is_fitted()
+        arr = asarray_2d(X)
+        out = qmr_predict(
+            self._state_dev(),
+            jnp.asarray(arr[:, 0]),
+            extrapolate=self.extrapolate,
+            n_endpoints=self.n_endpoints,
+        )
+        return np.asarray(out)
+
+
+class EquidistantCdfMatcher(QuantileMappingReressor):
+    """API of ``quantile.py:556-636`` (EDCDFm / QDM)."""
+
+    _fit_attributes = ["_X_cdf", "_y_cdf"]
+
+    def __init__(self, kind="difference", extrapolate=None, n_endpoints=10, max_ratio=None):
+        if kind not in ["difference", "ratio"]:
+            raise NotImplementedError("kind must be either difference or ratio")
+        self.kind = kind
+        self.extrapolate = extrapolate
+        self.n_endpoints = n_endpoints
+        # MACA seems to have a max ratio for precip at 5.0 (quantile.py:588)
+        self.max_ratio = max_ratio
+        if self.n_endpoints < 2:
+            raise ValueError("Invalid number of n_endpoints, must be >= 2")
+
+    def predict(self, X, **kwargs):
+        self._check_is_fitted()
+        arr = asarray_2d(X)
+        out = edcdfm_predict(
+            self._state_dev(),
+            jnp.asarray(arr[:, 0]),
+            kind=self.kind,
+            extrapolate=self.extrapolate,
+            n_endpoints=self.n_endpoints,
+            max_ratio=self.max_ratio,
+        )
+        return np.asarray(out)
+
+
+class TrendAwareQuantileMappingRegressor(SingleCellEstimator):
+    """API of ``quantile.py:639-716``: meta-estimator detrending X and y,
+    fitting the inner quantile mapper on detrended data, and restoring the
+    centered trendline plus a mean delta at predict time."""
+
+    _fit_attributes = ["_X_mean_fit", "_y_mean_fit"]
+
+    def __init__(self, qm_estimator=None, trend_transformer=None):
+        self.qm_estimator = qm_estimator
+        if trend_transformer is None:
+            self.trend_transformer = LinearTrendTransformer()
+        else:
+            self.trend_transformer = trend_transformer
+
+    def fit(self, X, y):
+        Xa = asarray_2d(X)
+        ya = asarray_2d(y)
+        self._X_mean_fit = Xa.mean(axis=0)
+        self._y_mean_fit = ya.mean(axis=0)
+
+        y_trend = LinearTrendTransformer()
+        y_detrend = y_trend.fit(ya).transform(ya)
+        X_trend = LinearTrendTransformer()
+        x_detrend = X_trend.fit(Xa).transform(Xa)
+
+        self.qm_estimator.fit(x_detrend, y_detrend)
+        return self
+
+    def predict(self, X):
+        self._check_is_fitted()
+        Xa = asarray_2d(X)
+        X_trend = LinearTrendTransformer()
+        x_detrend = X_trend.fit(Xa).transform(Xa)
+
+        y_hat = np.asarray(self.qm_estimator.predict(x_detrend)).reshape(-1, 1)
+
+        # delta: X (predict) - X (fit) + y -> projected change + historical obs mean
+        delta = (Xa.mean(axis=0) - self._X_mean_fit) + self._y_mean_fit
+
+        trendline = X_trend.trendline(Xa)
+        trendline = trendline - trendline.mean()  # center at 0 (quantile.py:711)
+
+        return y_hat + trendline + delta

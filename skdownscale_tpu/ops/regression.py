@@ -1,0 +1,153 @@
+"""Batched closed-form regression kernels.
+
+The reference delegates every regression to scikit-learn objects fit one at a
+time in Python loops (``trend.py:50-51``, ``quantile.py:256-264,369-385``,
+``gard.py:175,209-215``).  On TPU those become closed-form / fixed-iteration
+array programs: thousands of tiny solves batched with ``vmap`` so the MXU sees
+large fused batches instead of the host seeing tiny sequential ones.
+
+All functions are single-problem over the last axes; batch with ``jax.vmap``.
+Weights of 0/1 subsume the reference's boolean-mask row subsetting exactly
+(weighted least squares with 0/1 weights == OLS on the selected rows).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ols_1d",
+    "ols_predict_1d",
+    "linreg_fit",
+    "linreg_predict",
+    "logistic_fit",
+    "logistic_predict_proba",
+    "rmse",
+]
+
+
+def ols_1d(x, y, w=None):
+    """Simple least squares ``y ~ a + b*x`` -> (slope, intercept).
+
+    Matches ``sklearn.linear_model.LinearRegression`` on one feature
+    (centered closed form).  ``w`` is an optional 0/1 (or general) weight
+    vector selecting/weighting samples.
+    """
+    if w is None:
+        xm = jnp.mean(x)
+        ym = jnp.mean(y)
+        dx = x - xm
+        slope = jnp.dot(dx, y - ym) / jnp.dot(dx, dx)
+    else:
+        wsum = jnp.sum(w)
+        xm = jnp.sum(w * x) / wsum
+        ym = jnp.sum(w * y) / wsum
+        dx = x - xm
+        slope = jnp.sum(w * dx * (y - ym)) / jnp.sum(w * dx * dx)
+    intercept = ym - slope * xm
+    return slope, intercept
+
+
+def ols_predict_1d(slope, intercept, x):
+    return intercept + slope * x
+
+
+def linreg_fit(X, y, w=None):
+    """Multi-feature least squares with intercept -> (coef (k,), intercept).
+
+    ``X``: (n, k); ``y``: (n,); ``w``: optional (n,) weights (0/1 weights ==
+    row subsetting, as the reference does with boolean masks at
+    ``gard.py:215`` / ``gard.py:441``).
+
+    Solves the centered normal equations with a pseudo-inverse so rank-
+    deficient analog sets (duplicate rows) yield the minimum-norm solution,
+    matching sklearn's lstsq-based fit.
+    """
+    if w is None:
+        n = X.shape[0]
+        xm = jnp.mean(X, axis=0)
+        ym = jnp.mean(y)
+        Xc = X - xm
+        yc = y - ym
+    else:
+        wsum = jnp.sum(w)
+        xm = jnp.sum(w[:, None] * X, axis=0) / wsum
+        ym = jnp.sum(w * y) / wsum
+        sw = jnp.sqrt(w)
+        Xc = sw[:, None] * (X - xm)
+        yc = sw * (y - ym)
+    G = Xc.T @ Xc
+    b = Xc.T @ yc
+    coef = _psolve(G, b)
+    intercept = ym - jnp.dot(coef, xm)
+    return coef, intercept
+
+
+def _psolve(G, b):
+    """Solve G x = b for symmetric PSD G via eigendecomposition pinv
+    (rank-deficient safe, vmappable, TPU-friendly)."""
+    evals, evecs = jnp.linalg.eigh(G)
+    cutoff = jnp.finfo(G.dtype).eps * G.shape[0] * jnp.max(jnp.abs(evals))
+    inv = jnp.where(evals > cutoff, 1.0 / jnp.where(evals > cutoff, evals, 1.0), 0.0)
+    return evecs @ (inv * (evecs.T @ b))
+
+
+def linreg_predict(coef, intercept, X):
+    return X @ coef + intercept
+
+
+def rmse(y_true, y_pred, w=None):
+    """Root mean squared error (optionally 0/1-weighted), matching
+    ``sklearn.metrics.root_mean_squared_error`` (``gard.py:217-219``)."""
+    if w is None:
+        return jnp.sqrt(jnp.mean((y_true - y_pred) ** 2))
+    return jnp.sqrt(jnp.sum(w * (y_true - y_pred) ** 2) / jnp.sum(w))
+
+
+# ----------------------------------------------------------------------
+# logistic regression (sklearn-compatible objective)
+# ----------------------------------------------------------------------
+
+
+def logistic_fit(X, y, w=None, C: float = 1.0, n_iter: int = 30):
+    """L2-regularized logistic regression -> (coef (k,), intercept).
+
+    Minimizes sklearn's ``LogisticRegression`` objective (penalty='l2',
+    intercept unpenalized)::
+
+        0.5 * ||coef||^2 + C * sum_i w_i * log(1 + exp(-s_i * (X_i @ coef + b)))
+
+    with ``s = 2y - 1``.  Fixed-iteration damped Newton (the problem is
+    convex; ~30 steps reach optimizer tolerance far below sklearn's 1e-4).
+    The reference fits one of these per time step per grid cell
+    (``gard.py:209``); here the whole batch solves at once under vmap.
+    """
+    n, k = X.shape
+    if w is None:
+        w = jnp.ones(n, X.dtype)
+    Xb = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)  # (n, k+1)
+    s = 2.0 * y - 1.0
+    reg = jnp.concatenate([jnp.ones(k, X.dtype), jnp.zeros(1, X.dtype)])
+
+    def step(beta, _):
+        z = Xb @ beta
+        p = jax.nn.sigmoid(z)
+        # gradient of C * logloss + 0.5 beta' R beta
+        g = C * Xb.T @ (w * (p - y)) + reg * beta
+        h_diag = C * w * p * (1.0 - p)
+        H = (Xb * h_diag[:, None]).T @ Xb + jnp.diag(reg)
+        # Levenberg damping keeps early steps stable when separable
+        H = H + jnp.finfo(X.dtype).eps * 10 * jnp.eye(k + 1, dtype=X.dtype)
+        delta = jnp.linalg.solve(H, g)
+        return beta - delta, None
+
+    beta0 = jnp.zeros(k + 1, X.dtype)
+    beta, _ = jax.lax.scan(step, beta0, None, length=n_iter)
+    del s
+    return beta[:k], beta[k]
+
+
+def logistic_predict_proba(coef, intercept, X):
+    """Probability of class 1 (sklearn column ``[:, 1]``)."""
+    return jax.nn.sigmoid(X @ coef + intercept)
