@@ -1,0 +1,46 @@
+"""Brute-force batched k-nearest-neighbour search.
+
+The reference builds a ``sklearn.neighbors.KDTree`` per grid cell and queries
+it per time step (``/root/reference/skdownscale/pointwise_models/gard.py:82,194,299``).
+On TPU, brute force wins: the (queries x train) distance matrix is one MXU
+matmul, and ``jax.lax.top_k`` selects neighbours — no pointer-chasing tree,
+and the whole thing batches over cells with vmap.
+
+Results are sorted ascending by distance, matching ``KDTree.query``.
+Ties are broken by training index (deterministic; KDTree's tie order is
+implementation-defined).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["knn"]
+
+
+def knn(train, queries, k: int, *, return_distance: bool = True):
+    """k nearest neighbours by Euclidean distance.
+
+    Parameters
+    ----------
+    train : (n, f) training points
+    queries : (m, f) query points
+    k : static neighbour count
+
+    Returns
+    -------
+    (dist, inds) : ((m, k), (m, k)) — ascending by distance — or just inds
+    if ``return_distance=False``.
+    """
+    # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
+    tn = jnp.sum(train * train, axis=-1)  # (n,)
+    cross = queries @ train.T  # (m, n)
+    d2 = qn - 2.0 * cross + tn[None, :]
+    d2 = jnp.maximum(d2, 0.0)
+    # top_k on negative distance; ties broken toward lower index (stable)
+    neg, inds = jax.lax.top_k(-d2, k)
+    if not return_distance:
+        return inds
+    return jnp.sqrt(-neg), inds
