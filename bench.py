@@ -1,0 +1,112 @@
+"""Headline benchmark: BCSD temperature fit+predict throughput (cells/sec).
+
+Compares the TPU-native batched BCSD (this repo) against the reference
+scikit-downscale per-cell Python loop (measured on a subset and scaled —
+its cost is linear in cells; see BASELINE.md).  The reference publishes no
+numbers (SURVEY.md §6), so the baseline is measured here.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _example(n_cells, n_time, seed=0, dtype=np.float32):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    index = pd.date_range("1970-01-01", periods=n_time, freq="MS")
+    seasonal = 8.0 * np.sin(2 * np.pi * (index.month.to_numpy() - 1) / 12)
+    x = (283.0 + seasonal[None, :] + rng.normal(0, 2, (n_cells, n_time)) + 1.5).astype(dtype)
+    y = (282.0 + seasonal[None, :] + rng.normal(0, 1.8, (n_cells, n_time))).astype(dtype)
+    return index, x, y
+
+
+def bench_tpu(n_cells=131072, n_time=480, n_iters=3):
+    """Two-stage (fit jit + predict jit) — the framework's production shape.
+
+    Note: fusing fit+predict into one jit triggers an XLA mega-fusion that
+    compiles ~20x slower and runs ~40x slower; keep the stages separate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.bcsd import BcsdTemperature, _jit_fit, _jit_predict
+
+    index, x, y = _example(n_cells, n_time)
+    model = BcsdTemperature(return_anoms=False)
+    fg = model._fit_groups(index)
+    plan = model._predict_plan(fg, index)
+
+    fitj = _jit_fit(fg, True, 0.4, 0.4, False)
+    predj = _jit_predict(plan, "temperature", False, 0.4, 0.4, "both", 10, False)
+
+    xd = jax.device_put(x)
+    yd = jax.device_put(y)
+
+    def run():
+        state = fitj(xd, yd)
+        out = predj(state, xd)
+        # a host-read checksum is the only reliable barrier on the axon
+        # platform (block_until_ready returns early over the tunnel)
+        return float(jnp.sum(out))
+
+    run()  # compile + warm
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return n_cells / dt, dt
+
+
+def bench_reference(n_cells=8, n_time=480):
+    """Reference per-cell loop, measured on a subset (cost is linear)."""
+    import sys as _sys
+    import types
+
+    _sys.modules.setdefault("xarray", types.ModuleType("xarray"))
+    if "/root/reference" not in _sys.path:
+        _sys.path.insert(0, "/root/reference")
+    import pandas as pd
+    from skdownscale.pointwise_models.bcsd import BcsdTemperature as RefBcsd
+
+    index, x, y = _example(n_cells, n_time, dtype=np.float64)
+    t0 = time.perf_counter()
+    for c in range(n_cells):
+        xdf = pd.DataFrame({"v": x[c]}, index=index)
+        ydf = pd.DataFrame({"v": y[c]}, index=index)
+        m = RefBcsd(return_anoms=False).fit(xdf, ydf)
+        m.predict(xdf)
+    dt = time.perf_counter() - t0
+    return n_cells / dt
+
+
+def main():
+    n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    tpu_cells_per_sec, dt = bench_tpu(n_cells=n_cells)
+    try:
+        ref_cells_per_sec = bench_reference()
+    except Exception:
+        ref_cells_per_sec = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "bcsd_fit_predict_throughput",
+                "value": round(tpu_cells_per_sec, 1),
+                "unit": "cells/sec (40y monthly BCSD fit+predict)",
+                "vs_baseline": round(tpu_cells_per_sec / ref_cells_per_sec, 1)
+                if ref_cells_per_sec == ref_cells_per_sec
+                else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

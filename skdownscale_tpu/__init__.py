@@ -7,6 +7,11 @@ sharded over a TPU mesh.  The public estimator API mirrors the reference
 (``/root/reference/skdownscale/pointwise_models/__init__.py:17-36``).
 """
 
+from skdownscale_tpu.models.arrm import PiecewiseLinearRegression
+from skdownscale_tpu.models.bcsd import BcsdPrecipitation, BcsdTemperature
+from skdownscale_tpu.models.gard import AnalogRegression, PureAnalog, PureRegression
+from skdownscale_tpu.models.groupers import DAY_GROUPER, MONTH_GROUPER, PaddedDOYGrouper
+from skdownscale_tpu.models.grouping import GroupedRegressor
 from skdownscale_tpu.models.quantile import (
     CunnaneTransformer,
     EquidistantCdfMatcher,
@@ -15,14 +20,30 @@ from skdownscale_tpu.models.quantile import (
     TrendAwareQuantileMappingRegressor,
 )
 from skdownscale_tpu.models.trend import LinearTrendTransformer
+from skdownscale_tpu.models.zscore import ZScoreRegressor
+from skdownscale_tpu.pointwise import PointWiseDownscaler
+from skdownscale_tpu import xlite
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "PiecewiseLinearRegression",
+    "BcsdPrecipitation",
+    "BcsdTemperature",
+    "PointWiseDownscaler",
+    "AnalogRegression",
+    "PureAnalog",
+    "PureRegression",
+    "DAY_GROUPER",
+    "MONTH_GROUPER",
+    "PaddedDOYGrouper",
+    "GroupedRegressor",
     "CunnaneTransformer",
     "EquidistantCdfMatcher",
     "QuantileMapper",
     "QuantileMappingReressor",
     "TrendAwareQuantileMappingRegressor",
     "LinearTrendTransformer",
+    "ZScoreRegressor",
+    "xlite",
 ]

@@ -1,0 +1,346 @@
+"""Batched (vmapped-over-cells) execution of the model zoo.
+
+This module is the heart of the TPU re-design: where the reference runs one
+Python estimator object per grid cell
+(``/root/reference/skdownscale/pointwise_models/core.py:86-96``), each model
+family here exposes a *batched* implementation operating on ``(cells, time)``
+arrays — the per-cell functional cores vmapped over a leading cell axis, with
+host-side group tables shared across cells.  Fitted state is a pytree of
+``(cells, ...)`` arrays: co-sharded with the cell axis on a device mesh,
+trivially checkpointable, and gatherable for ``get_attr``.
+
+Dispatch is by estimator type via a registry; estimators without a batched
+implementation fall back to the wrapper's per-cell loop (still correct — any
+sklearn-style estimator works, as in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.timeindex import TimeIndex
+from . import bcsd as _bcsd
+from . import gard as _gard
+from . import quantile as _q
+from . import trend as _t
+from . import zscore as _z
+
+__all__ = ["supports_batched", "batched_fit", "batched_predict", "batched_transform", "batched_attrs"]
+
+
+class _Impl(NamedTuple):
+    fit: Callable  # (model, index_fit, X (C,T,F), y (C,T)|None) -> state
+    predict: Callable | None  # (model, state, index_fit, X, index) -> (C,T[,O])
+    transform: Callable | None  # (model, state, index_fit, X, index, direction) -> (C,T)
+    attrs: Callable | None  # (model, state) -> dict[str, np.ndarray (C,...)]
+
+
+_REGISTRY: dict[type, _Impl] = {}
+
+
+def register(cls, impl: _Impl) -> None:
+    """Extension point: register a batched implementation for a custom
+    estimator class (resolved through the MRO at dispatch time)."""
+    _REGISTRY[cls] = impl
+
+
+def _lookup(model) -> _Impl | None:
+    for klass in type(model).__mro__:
+        if klass in _REGISTRY:
+            return _REGISTRY[klass]
+    return None
+
+
+def supports_batched(model) -> bool:
+    return _lookup(model) is not None
+
+
+def batched_fit(model, index_fit, X, y):
+    return _lookup(model).fit(model, index_fit, X, y)
+
+
+def batched_predict(model, state, index_fit, X, index):
+    return _lookup(model).predict(model, state, index_fit, X, index)
+
+
+def batched_transform(model, state, index_fit, X, index, direction="transform"):
+    return _lookup(model).transform(model, state, index_fit, X, index, direction)
+
+
+def batched_attrs(model, state) -> dict:
+    impl = _lookup(model)
+    if impl is None or impl.attrs is None:
+        return {}
+    return impl.attrs(model, state)
+
+
+def _single(X):
+    """(C, T, F) -> (C, T), asserting a single feature."""
+    if X.shape[-1] != 1:
+        raise ValueError(f"this model supports 1 feature, found {X.shape[-1]}")
+    return X[..., 0]
+
+
+# ----------------------------------------------------------------------
+# LinearTrendTransformer
+# ----------------------------------------------------------------------
+
+
+def _trend_fit(model, index_fit, X, y):
+    # (C, T, F) -> per (cell, feature) slope/intercept
+    return _t.trend_fit(jnp.moveaxis(X, 1, -1))  # (C, F, T) -> state (C, F)
+
+
+def _trend_transform(model, state, index_fit, X, index, direction):
+    line = _t.trend_line(state, X.shape[1], X.dtype)  # (C, F, T)
+    line = jnp.moveaxis(line, -1, 1)
+    return _single(X - line) if direction == "transform" else _single(X + line)
+
+
+_REGISTRY[_t.LinearTrendTransformer] = _Impl(
+    _trend_fit,
+    None,
+    _trend_transform,
+    lambda model, state: {"slope_": np.asarray(state.slope), "intercept_": np.asarray(state.intercept)},
+)
+
+
+# ----------------------------------------------------------------------
+# QuantileMapper
+# ----------------------------------------------------------------------
+
+
+def _qm_fit(model, index_fit, X, y):
+    p = model._qt_params()
+    fn = lambda x: _q.qm_fit(x, detrend=bool(model.detrend), alpha=p["alpha"], beta=p["beta"])
+    return jax.vmap(fn)(_single(X))
+
+
+def _qm_transform(model, state, index_fit, X, index, direction):
+    if direction != "transform":
+        raise NotImplementedError("QuantileMapper has no inverse_transform in the reference")
+    p = model._qt_params()
+    fn = lambda s, x: _q.qm_transform(
+        s,
+        x,
+        detrend=bool(model.detrend),
+        alpha=p["alpha"],
+        beta=p["beta"],
+        extrapolate=p["extrapolate"],
+        n_endpoints=p["n_endpoints"],
+    )
+    return jax.vmap(fn)(state, _single(X))
+
+
+_REGISTRY[_q.QuantileMapper] = _Impl(_qm_fit, None, _qm_transform, None)
+
+
+# ----------------------------------------------------------------------
+# QuantileMappingReressor / EquidistantCdfMatcher
+# ----------------------------------------------------------------------
+
+
+def _qmr_fit(model, index_fit, X, y):
+    fn = lambda x, yy: _q.qmr_fit(
+        x, yy, extrapolate=model.extrapolate, n_endpoints=model.n_endpoints
+    )
+    return jax.vmap(fn)(_single(X), y)
+
+
+def _qmr_predict(model, state, index_fit, X, index):
+    fn = lambda s, x: _q.qmr_predict(
+        s, x, extrapolate=model.extrapolate, n_endpoints=model.n_endpoints
+    )
+    return jax.vmap(fn)(state, _single(X))
+
+
+_REGISTRY[_q.QuantileMappingReressor] = _Impl(_qmr_fit, _qmr_predict, None, None)
+
+
+def _edcdfm_predict(model, state, index_fit, X, index):
+    fn = lambda s, x: _q.edcdfm_predict(
+        s,
+        x,
+        kind=model.kind,
+        extrapolate=model.extrapolate,
+        n_endpoints=model.n_endpoints,
+        max_ratio=model.max_ratio,
+    )
+    return jax.vmap(fn)(state, _single(X))
+
+
+_REGISTRY[_q.EquidistantCdfMatcher] = _Impl(_qmr_fit, _edcdfm_predict, None, None)
+
+
+# ----------------------------------------------------------------------
+# TrendAwareQuantileMappingRegressor
+# ----------------------------------------------------------------------
+
+
+def _ta_fit(model, index_fit, X, y):
+    x = _single(X)
+    x_mean = jnp.mean(x, axis=1)
+    y_mean = jnp.mean(y, axis=1)
+    x_tr = _t.trend_fit(x)
+    y_tr = _t.trend_fit(y)
+    x_det = x - _t.trend_line(x_tr, x.shape[1], x.dtype)
+    y_det = y - _t.trend_line(y_tr, y.shape[1], y.dtype)
+    inner = batched_fit(model.qm_estimator, index_fit, x_det[..., None], y_det)
+    return {"inner": inner, "x_mean": x_mean, "y_mean": y_mean}
+
+
+def _ta_predict(model, state, index_fit, X, index):
+    x = _single(X)
+    tr = _t.trend_fit(x)
+    line = _t.trend_line(tr, x.shape[1], x.dtype)
+    x_det = x - line
+    y_hat = batched_predict(model.qm_estimator, state["inner"], index_fit, x_det[..., None], index)
+    delta = (jnp.mean(x, axis=1) - state["x_mean"]) + state["y_mean"]
+    trendline = line - jnp.mean(line, axis=1, keepdims=True)
+    return y_hat + trendline + delta[:, None]
+
+
+_REGISTRY[_q.TrendAwareQuantileMappingRegressor] = _Impl(_ta_fit, _ta_predict, None, None)
+
+
+# ----------------------------------------------------------------------
+# BCSD
+# ----------------------------------------------------------------------
+
+
+def _bcsd_fit(model, index_fit, X, y):
+    # batch-native core: group tables are host constants, no outer vmap
+    fg = model._fit_groups(index_fit)
+    p = model._qm_params()
+    fit = _bcsd._jit_fit(fg, model._with_x_climo, p["alpha"], p["beta"], p["detrend"])
+    return fit(_single(X), y)
+
+
+def _bcsd_predict(model, state, index_fit, X, index):
+    fg = model._fit_groups(index_fit)
+    plan = model._predict_plan(fg, index)
+    if model.return_anoms and plan.anom_labels is None:
+        raise ValueError("daily BCSD with return_anoms=True is unsupported (reference crashes)")
+    p = model._qm_params()
+    pred = _bcsd._jit_predict(
+        plan,
+        "temperature" if model._with_x_climo else "precipitation",
+        bool(model.return_anoms),
+        p["alpha"],
+        p["beta"],
+        p["extrapolate"],
+        p["n_endpoints"],
+        p["detrend"],
+    )
+    return pred(state, _single(X))
+
+
+_REGISTRY[_bcsd.BcsdBase] = _Impl(
+    _bcsd_fit,
+    _bcsd_predict,
+    None,
+    lambda model, state: {"y_climo_": np.asarray(state.y_climo)},
+)
+
+
+# ----------------------------------------------------------------------
+# ZScore
+# ----------------------------------------------------------------------
+
+
+def _zscore_fit(model, index_fit, X, y):
+    idx, mask = _z.build_year_doy_table(index_fit)
+    fn = lambda x, yy: _z.zscore_fit(
+        x, yy, jnp.asarray(idx), jnp.asarray(mask), window=model.window_width
+    )
+    return jax.vmap(fn)(_single(X), y)
+
+
+def _zscore_predict(model, state, index_fit, X, index):
+    x = _single(X)
+    inds = jnp.asarray(_z.expand_indices(x.shape[1]))
+    fn = lambda s, xx: _z.zscore_predict(s, xx, inds, window=model.window_width)[0]
+    return jax.vmap(fn)(state, x)
+
+
+_REGISTRY[_z.ZScoreRegressor] = _Impl(
+    _zscore_fit,
+    _zscore_predict,
+    None,
+    lambda model, state: {"shift_": np.asarray(state.shift), "scale_": np.asarray(state.scale)},
+)
+
+
+# ----------------------------------------------------------------------
+# GARD
+# ----------------------------------------------------------------------
+
+
+class GardState(NamedTuple):
+    X_train: jnp.ndarray  # (C, T, F)
+    y_train: jnp.ndarray  # (C, T)
+
+
+def _gard_fit(model, index_fit, X, y):
+    n = X.shape[1]
+    if n >= model.n_analogs:
+        model.k_ = int(model.n_analogs)
+    else:
+        import warnings
+
+        warnings.warn("length of X is less than n_analogs, setting n_analogs = len(X)")
+        model.k_ = n
+    return GardState(X, y)
+
+
+def _pure_analog_predict(model, state, index_fit, X, index):
+    m = X.shape[1]
+    if model.kind == "best_analog" or model.n_analogs == 1:
+        k, kind = 1, "best_analog"
+    else:
+        k, kind = model.k_, model.kind
+    if kind == "sample_analogs":
+        rng = np.random.default_rng(model.random_state)
+        rand = jnp.asarray(rng.integers(0, k, (X.shape[0], m)))
+    else:
+        rand = jnp.zeros((X.shape[0], m), dtype=jnp.int32)
+    fn = lambda xt, yt, xq, r: _gard.pure_analog_predict(
+        xt, yt, xq, r, k=k, kind=kind, thresh=model.thresh
+    )
+    return jax.vmap(fn)(state.X_train, state.y_train, X, rand)
+
+
+_REGISTRY[_gard.PureAnalog] = _Impl(_gard_fit, _pure_analog_predict, None,
+                                    lambda model, state: {"k_": np.full(state.y_train.shape[0], model.k_)})
+
+
+def _analog_reg_predict(model, state, index_fit, X, index):
+    fn = lambda xt, yt, xq: _gard.analog_regression_predict(
+        xt, yt, xq, k=model.k_, thresh=model.thresh
+    )
+    return jax.vmap(fn)(state.X_train, state.y_train, X)
+
+
+_REGISTRY[_gard.AnalogRegression] = _Impl(_gard_fit, _analog_reg_predict, None,
+                                          lambda model, state: {"k_": np.full(state.y_train.shape[0], model.k_)})
+
+
+def _pure_reg_fit(model, index_fit, X, y):
+    fn = lambda xx, yy: _gard.pure_regression_fit(xx, yy, thresh=model.thresh)
+    return jax.vmap(fn)(X, y)
+
+
+def _pure_reg_predict(model, state, index_fit, X, index):
+    return jax.vmap(_gard.pure_regression_predict)(state, X)
+
+
+_REGISTRY[_gard.PureRegression] = _Impl(
+    _pure_reg_fit,
+    _pure_reg_predict,
+    None,
+    lambda model, state: {"fit_error_": np.asarray(state.fit_error)},
+)

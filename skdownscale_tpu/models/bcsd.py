@@ -2,9 +2,10 @@
 
 Re-design of ``/root/reference/skdownscale/pointwise_models/bcsd.py``: the
 reference keeps a Python dict of per-group ``QuantileMapper`` objects and
-loops pandas groupbys; here a cell's entire BCSD fit is one fixed-shape
-functional program over padded group tables (see :mod:`.grouped`), vmappable
-over grid cells.
+loops pandas groupbys; here a BCSD fit/predict is one fixed-shape batched
+program over padded group tables (see :mod:`.grouped`) with an explicit
+leading cell axis — group membership, counts, tail windows and label
+lookups are host constants baked into the compiled program.
 
 Grouping semantics preserved:
 
@@ -67,7 +68,7 @@ def _pandas_partition(index, grouper) -> PaddedGroups:
     return PaddedGroups.from_labels(labels, np.asarray(keys))
 
 
-class _ResolvedGroups(NamedTuple):
+class _PredictPlan(NamedTuple):
     """Host-side group structure for one (fit index, predict index) pair."""
 
     fit: PaddedGroups  # possibly overlapping (daily flavor)
@@ -76,6 +77,23 @@ class _ResolvedGroups(NamedTuple):
     transform_to_fit: np.ndarray  # (Gt,) fit-row for each transform group
     shift_labels: np.ndarray  # (Tp,) fit-row per predict step (x-climo lookup)
     anom_labels: np.ndarray | None  # (Tp,) fit-row per predict step, None -> raise
+
+    def __hash__(self):
+        return hash(
+            (
+                self.fit,
+                self.transform,
+                self.rolling,
+                self.transform_to_fit.tobytes(),
+                self.shift_labels.tobytes(),
+                None if self.anom_labels is None else self.anom_labels.tobytes(),
+            )
+        )
+
+    def __eq__(self, other):
+        if not isinstance(other, _PredictPlan):
+            return NotImplemented
+        return hash(self) == hash(other)
 
 
 def _match_keys(src_keys, dst_keys, what: str) -> np.ndarray:
@@ -87,30 +105,26 @@ def _match_keys(src_keys, dst_keys, what: str) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
-# functional core (single cell)
+# functional core (batch-native: arrays are (..., T))
 # ----------------------------------------------------------------------
 
 
 class BcsdState(NamedTuple):
     qm: GroupedCdf  # per-fit-group CDFs of y
-    y_climo: jnp.ndarray  # (G,)
-    x_climo: jnp.ndarray  # (G,) — zeros for precipitation
+    y_climo: jnp.ndarray  # (..., G)
+    x_climo: jnp.ndarray  # (..., G) — zeros for precipitation
 
 
-def _masked_group_mean(v, idx, mask, counts):
-    g = gather_groups(v, idx, mask, fill=0.0)
-    return jnp.sum(g, axis=-1) / jnp.maximum(counts, 1).astype(v.dtype)
+def _masked_group_mean(v, groups: PaddedGroups):
+    g = gather_groups(v, groups, fill=0.0)
+    denom = jnp.asarray(np.maximum(groups.counts, 1), v.dtype)
+    return jnp.sum(g, axis=-1) / denom
 
 
-@functools.partial(
-    jax.jit, static_argnames=("with_x_climo", "alpha", "beta", "detrend")
-)
 def bcsd_fit(
     x,
     y,
-    fit_idx,
-    fit_mask,
-    fit_counts,
+    fit_groups: PaddedGroups,
     *,
     with_x_climo: bool = True,
     alpha: float = 0.4,
@@ -119,41 +133,20 @@ def bcsd_fit(
 ) -> BcsdState:
     """``BcsdTemperature.fit`` / ``BcsdPrecipitation.fit`` core
     (``bcsd.py:115-147``, ``197-228``): per-group climatologies + per-group
-    quantile-mapper CDFs of the target."""
-    counts = jnp.asarray(fit_counts)
-    y_climo = _masked_group_mean(y, fit_idx, fit_mask, counts)
+    quantile-mapper CDFs of the target.  ``x``/``y``: (..., T)."""
+    y_climo = _masked_group_mean(y, fit_groups)
     if with_x_climo:
-        x_climo = _masked_group_mean(x, fit_idx, fit_mask, counts)
+        x_climo = _masked_group_mean(x, fit_groups)
     else:
         x_climo = jnp.zeros_like(y_climo)
-    qm = grouped_qm_fit(y, fit_idx, fit_mask, counts, alpha=alpha, beta=beta, detrend=detrend)
+    qm = grouped_qm_fit(y, fit_groups, alpha=alpha, beta=beta, detrend=detrend)
     return BcsdState(qm, y_climo, x_climo)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "variable",
-        "return_anoms",
-        "alpha",
-        "beta",
-        "extrapolate",
-        "n_endpoints",
-        "detrend",
-        "rolling_window",
-    ),
-)
 def bcsd_predict(
     state: BcsdState,
     x,
-    t_idx,
-    t_mask,
-    t_counts,
-    t_to_fit,
-    r_idx,
-    r_mask,
-    shift_labels,
-    anom_labels,
+    plan: _PredictPlan,
     *,
     variable: str = "temperature",
     return_anoms: bool = True,
@@ -165,18 +158,29 @@ def bcsd_predict(
     rolling_window: int = 9,
 ):
     """``BcsdTemperature.predict`` (``bcsd.py:230-269``) /
-    ``BcsdPrecipitation.predict`` (``bcsd.py:149-170``) core."""
-    n = x.shape[0]
-    # align fit-group CDFs to the transform partition's rows
-    qm_aligned = jax.tree_util.tree_map(lambda a: a[t_to_fit], state.qm)
+    ``BcsdPrecipitation.predict`` (``bcsd.py:149-170``) core.  ``x``: (..., T).
+    """
+    n = x.shape[-1]
+    t2f = plan.transform_to_fit
+    # align fit-group CDFs/metadata to the transform partition's rows
+    qm = state.qm
+    qm_aligned = GroupedCdf(
+        qm.pp[t2f],
+        qm.vals[..., t2f, :],
+        qm.trend_slope[..., t2f],
+        qm.trend_intercept[..., t2f],
+    )
+    fit_counts_aligned = plan.fit.counts[t2f]
+    fit_valid_aligned = plan.fit.mask[t2f]
 
     if variable == "temperature":
         # 9-point centered rolling mean within each climate-trend group
-        xg = gather_groups(x, r_idx, r_mask, fill=0.0)
-        rolled_g = rolling_mean(xg, rolling_window, center=True, min_periods=1, valid=r_mask)
-        rolled = scatter_groups(jnp.where(r_mask, rolled_g, 0.0), r_idx, r_mask, n)
+        xg = gather_groups(x, plan.rolling, fill=0.0)
+        rmask = jnp.asarray(plan.rolling.mask)
+        rolled_g = rolling_mean(xg, rolling_window, center=True, min_periods=1, valid=rmask)
+        rolled = scatter_groups(jnp.where(rmask, rolled_g, 0.0), plan.rolling, n)
         # remove climatology from the climate trend (bcsd.py:253)
-        x_shift = rolled - state.x_climo[shift_labels]
+        x_shift = rolled - state.x_climo[..., plan.shift_labels]
         x_no_shift = x - x_shift
     else:
         x_shift = jnp.zeros_like(x)
@@ -184,10 +188,10 @@ def bcsd_predict(
 
     xqm = grouped_qm_transform(
         qm_aligned,
+        fit_counts_aligned,
+        fit_valid_aligned,
         x_no_shift,
-        t_idx,
-        t_mask,
-        t_counts,
+        plan.transform,
         alpha=alpha,
         beta=beta,
         extrapolate=extrapolate,
@@ -195,15 +199,43 @@ def bcsd_predict(
         detrend=detrend,
     )
 
+    anom = plan.anom_labels if plan.anom_labels is not None else plan.shift_labels
     if variable == "temperature":
         out = x_shift + xqm  # restore the climate trend (bcsd.py:263)
         if return_anoms:
-            out = out - state.y_climo[anom_labels]
+            out = out - state.y_climo[..., anom]
     else:
         out = xqm
         if return_anoms:
-            out = out / state.y_climo[anom_labels]  # ratio anomalies (bcsd.py:172-185)
+            out = out / state.y_climo[..., anom]  # ratio anomalies (bcsd.py:172-185)
     return out
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_fit(fit_groups: PaddedGroups, with_x_climo: bool, alpha, beta, detrend):
+    return jax.jit(
+        lambda x, y: bcsd_fit(
+            x, y, fit_groups, with_x_climo=with_x_climo, alpha=alpha, beta=beta, detrend=detrend
+        )
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_predict(plan: _PredictPlan, variable, return_anoms, alpha, beta, extrapolate, n_endpoints, detrend):
+    return jax.jit(
+        lambda state, x: bcsd_predict(
+            state,
+            x,
+            plan,
+            variable=variable,
+            return_anoms=return_anoms,
+            alpha=alpha,
+            beta=beta,
+            extrapolate=extrapolate,
+            n_endpoints=n_endpoints,
+            detrend=detrend,
+        )
+    )
 
 
 # ----------------------------------------------------------------------
@@ -272,7 +304,7 @@ class BcsdBase(SingleCellEstimator):
             return padded_doy_groups(TimeIndex.from_pandas(index), offset=15)
         return _pandas_partition(index, self.time_grouper)
 
-    def _predict_groups(self, fit_groups: PaddedGroups, index) -> _ResolvedGroups:
+    def _predict_plan(self, fit_groups: PaddedGroups, index) -> _PredictPlan:
         if self._timestep_kind == "daily":
             transform = _pandas_partition(index, self.climate_trend_grouper)
             anom_labels = None  # reference raises on overlapping-group climatology
@@ -284,7 +316,7 @@ class BcsdBase(SingleCellEstimator):
         shift_labels = t_to_fit[transform.labels]
         if self._timestep_kind == "monthly":
             anom_labels = shift_labels
-        return _ResolvedGroups(fit_groups, transform, rolling, t_to_fit, shift_labels, anom_labels)
+        return _PredictPlan(fit_groups, transform, rolling, t_to_fit, shift_labels, anom_labels)
 
     # -- API ------------------------------------------------------------
     def fit(self, X, y):
@@ -295,17 +327,8 @@ class BcsdBase(SingleCellEstimator):
         index = self._pandas_index(X, len(Xa))
         fg = self._fit_groups(index)
         p = self._qm_params()
-        state = bcsd_fit(
-            jnp.asarray(Xa[:, 0]),
-            jnp.asarray(ya[:, 0]),
-            jnp.asarray(fg.indices),
-            jnp.asarray(fg.mask),
-            fg.counts,
-            with_x_climo=self._with_x_climo,
-            alpha=p["alpha"],
-            beta=p["beta"],
-            detrend=p["detrend"],
-        )
+        fit = _jit_fit(fg, self._with_x_climo, p["alpha"], p["beta"], p["detrend"])
+        state = fit(jnp.asarray(Xa[:, 0]), jnp.asarray(ya[:, 0]))
         if self._with_x_climo is False and self.return_anoms:
             if float(np.min(np.asarray(state.y_climo))) <= 0:
                 raise ValueError("Invalid value in target climatology")  # bcsd.py:140-141
@@ -323,8 +346,8 @@ class BcsdBase(SingleCellEstimator):
         X = self._validate_data(X, reset=False)
         Xa = asarray_2d(X)
         index = self._pandas_index(X, len(Xa))
-        rg = self._predict_groups(self._fit_groups_, index)
-        if self.return_anoms and rg.anom_labels is None:
+        plan = self._predict_plan(self._fit_groups_, index)
+        if self.return_anoms and plan.anom_labels is None:
             raise ValueError(
                 "Result shape does not match input shape (daily BCSD with "
                 "return_anoms=True replicates the reference's overlapping-group "
@@ -336,26 +359,17 @@ class BcsdBase(SingleCellEstimator):
             jnp.asarray(self._state.y_climo),
             jnp.asarray(self._state.x_climo),
         )
-        out = bcsd_predict(
-            state,
-            jnp.asarray(Xa[:, 0]),
-            jnp.asarray(rg.transform.indices),
-            jnp.asarray(rg.transform.mask),
-            rg.transform.counts,
-            jnp.asarray(rg.transform_to_fit),
-            jnp.asarray(rg.rolling.indices),
-            jnp.asarray(rg.rolling.mask),
-            jnp.asarray(rg.shift_labels),
-            jnp.asarray(rg.anom_labels if rg.anom_labels is not None else rg.shift_labels),
-            variable="temperature" if self._with_x_climo else "precipitation",
-            return_anoms=bool(self.return_anoms),
-            alpha=p["alpha"],
-            beta=p["beta"],
-            extrapolate=p["extrapolate"],
-            n_endpoints=p["n_endpoints"],
-            detrend=p["detrend"],
+        pred = _jit_predict(
+            plan,
+            "temperature" if self._with_x_climo else "precipitation",
+            bool(self.return_anoms),
+            p["alpha"],
+            p["beta"],
+            p["extrapolate"],
+            p["n_endpoints"],
+            p["detrend"],
         )
-        out = np.asarray(out)
+        out = np.asarray(pred(state, jnp.asarray(Xa[:, 0])))
         if hasattr(X, "iloc"):
             import pandas as pd
 

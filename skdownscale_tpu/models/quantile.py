@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cdf import SYNTHETIC_MAX, SYNTHETIC_MIN, Cdf, calc_extrapolated_cdf, plotting_positions
+from ..ops.interp import interp_ramp
 from ..ops.regression import ols_1d
 from .base import SingleCellEstimator, SingleCellTransformer, asarray_2d
 from .trend import LinearTrendTransformer, TrendState, trend_fit, trend_line
@@ -91,7 +92,7 @@ def cunnane_transform(cdf: Cdf, x, extrapolate="both", n_endpoints: int = 10):
     """values -> plotting positions (``quantile.py:465-503``)."""
     left = -jnp.inf if extrapolate in ("min", "both") else None
     right = jnp.inf if extrapolate in ("max", "both") else None
-    pps = jnp.interp(x, cdf.vals, cdf.pp)
+    pps = interp_ramp(x, cdf.vals, cdf.pp)
     if left is not None:
         pps = jnp.where(x < cdf.vals[0], left, pps)
     if right is not None:
@@ -105,7 +106,7 @@ def cunnane_inverse(cdf: Cdf, q, extrapolate="both", n_endpoints: int = 10):
     """plotting positions -> values (``quantile.py:523-545``)."""
     left = -jnp.inf if extrapolate in ("min", "both") else None
     right = jnp.inf if extrapolate in ("max", "both") else None
-    vals = jnp.interp(q, cdf.pp, cdf.vals)
+    vals = interp_ramp(q, cdf.pp, cdf.vals)
     if left is not None:
         vals = jnp.where(q < cdf.pp[0], left, vals)
     if right is not None:
@@ -199,14 +200,15 @@ def _reextrapolate_pp(pp, vals, n_endpoints: int):
     c_lo = jnp.sum(neg).astype(jnp.int32)
     c_hi = jnp.sum(pos).astype(jnp.int32)
 
-    pp_lo = jax.lax.dynamic_slice(pp, (c_lo,), (n_endpoints,))
-    vals_lo = jax.lax.dynamic_slice(vals, (c_lo,), (n_endpoints,))
+    ne = min(n_endpoints, m)
+    pp_lo = jax.lax.dynamic_slice(pp, (c_lo,), (ne,))
+    vals_lo = jax.lax.dynamic_slice(vals, (c_lo,), (ne,))
     s_lo, i_lo = ols_1d(pp_lo, vals_lo)
     pred_lo = i_lo + s_lo * vals
 
-    start_hi = m - c_hi - n_endpoints
-    pp_hi = jax.lax.dynamic_slice(pp, (start_hi,), (n_endpoints,))
-    vals_hi = jax.lax.dynamic_slice(vals, (start_hi,), (n_endpoints,))
+    start_hi = m - c_hi - ne
+    pp_hi = jax.lax.dynamic_slice(pp, (start_hi,), (ne,))
+    vals_hi = jax.lax.dynamic_slice(vals, (start_hi,), (ne,))
     s_hi, i_hi = ols_1d(pp_hi, vals_hi)
     pred_hi = i_hi + s_hi * vals
 
@@ -227,20 +229,20 @@ def _extrapolate_1to1(state: QmrState, x, y_hat):
     if X_fit_len == y_fit_len:
         hi = y_fit_max + (x - X_fit_max)
     elif X_fit_len > y_fit_len:
-        X_fit_at_y_fit_max = jnp.interp(state.y_pp[-1], state.x_pp, state.x_vals)
+        X_fit_at_y_fit_max = interp_ramp(state.y_pp[-1], state.x_pp, state.x_vals)
         hi = y_fit_max + (x - X_fit_at_y_fit_max)
     else:
-        y_fit_at_X_fit_max = jnp.interp(state.x_pp[-1], state.y_pp, state.y_vals)
+        y_fit_at_X_fit_max = interp_ramp(state.x_pp[-1], state.y_pp, state.y_vals)
         hi = y_fit_at_X_fit_max + (x - X_fit_max)
     y_hat = jnp.where(x > X_fit_max, hi, y_hat)
 
     if X_fit_len == y_fit_len:
         lo = y_fit_min + (x - X_fit_min)
     elif X_fit_len > y_fit_len:
-        X_fit_at_y_fit_min = jnp.interp(state.y_pp[0], state.x_pp, state.x_vals)
+        X_fit_at_y_fit_min = interp_ramp(state.y_pp[0], state.x_pp, state.x_vals)
         lo = X_fit_min + (x - X_fit_at_y_fit_min)
     else:
-        y_fit_at_X_fit_min = jnp.interp(state.x_pp[0], state.y_pp, state.y_vals)
+        y_fit_at_X_fit_min = interp_ramp(state.x_pp[0], state.y_pp, state.y_vals)
         lo = y_fit_at_X_fit_min + (x - X_fit_min)
     y_hat = jnp.where(x < X_fit_min, lo, y_hat)
     return y_hat
@@ -253,7 +255,7 @@ def qmr_predict(state: QmrState, x, *, extrapolate=None, n_endpoints: int = 10):
     xs = x[sort_inds]
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
 
-    pp = jnp.interp(tc.vals, state.x_vals, state.x_pp)
+    pp = interp_ramp(tc.vals, state.x_vals, state.x_pp)
     if extrapolate in ("min", "both"):
         pp = jnp.where(tc.vals < state.x_vals[0], -jnp.inf, pp)
     if extrapolate in ("max", "both"):
@@ -261,7 +263,7 @@ def qmr_predict(state: QmrState, x, *, extrapolate=None, n_endpoints: int = 10):
     if extrapolate in ("min", "max", "both"):
         pp = _reextrapolate_pp(pp, tc.vals, n_endpoints)
 
-    yhat_sorted = jnp.interp(pp, state.y_pp, state.y_vals)
+    yhat_sorted = interp_ramp(pp, state.y_pp, state.y_vals)
     y_hat = jnp.zeros_like(x).at[sort_inds].set(yhat_sorted[1:-1])
     if extrapolate == "1to1":
         y_hat = _extrapolate_1to1(state, x, y_hat)
@@ -283,8 +285,8 @@ def edcdfm_predict(
     sort_inds = jnp.argsort(x)
     xs = x[sort_inds]
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
-    X_train_vals = jnp.interp(tc.pp, state.x_pp, state.x_vals)
-    y_train_vals = jnp.interp(tc.pp, state.y_pp, state.y_vals)
+    X_train_vals = interp_ramp(tc.pp, state.x_pp, state.x_vals)
+    y_train_vals = interp_ramp(tc.pp, state.y_pp, state.y_vals)
     if kind == "difference":
         sorted_y_hat = y_train_vals + (tc.vals - X_train_vals)
     else:  # 'ratio'

@@ -28,12 +28,8 @@ class TrendState(NamedTuple):
 
 def trend_fit(x) -> TrendState:
     """Fit ``x ~ a + b*arange(n)`` over the last axis. ``x``: (..., n)."""
-    n = x.shape[-1]
-    t = jnp.arange(n, dtype=x.dtype)
-    fit = ols_1d
-    for _ in range(x.ndim - 1):
-        fit = jax.vmap(fit, in_axes=(None, 0))
-    slope, intercept = fit(t, x)
+    t = jnp.arange(x.shape[-1], dtype=x.dtype)
+    slope, intercept = ols_1d(t, x)
     return TrendState(slope, intercept)
 
 

@@ -50,16 +50,17 @@ def calc_extrapolated_cdf(
     pp_min: float = SYNTHETIC_MIN,
     pp_max: float = SYNTHETIC_MAX,
 ) -> Cdf:
-    """Build an extrapolated CDF from ``(n,)`` data.
+    """Build an extrapolated CDF from ``(..., n)`` data (leading batch dims
+    preserved; the pp vector broadcasts over them).
 
     Semantics of ``quantile.py:312-387``.  ``extrapolate`` / ``n_endpoints``
-    are static.  Returns ``Cdf`` of two ``(n+2,)`` vectors.
+    are static.  Returns ``Cdf`` of two ``(..., n+2)`` arrays.
     """
     if extrapolate not in _VALID_EXTRAPOLATE:
         raise ValueError(f"unknown value for extrapolate: {extrapolate}")
     n = data.shape[-1]
     if sort:
-        data = jnp.sort(data)
+        data = jnp.sort(data, axis=-1)
 
     pp_core = plotting_positions(n, dtype=data.dtype)
     if extrapolate in (None, "1to1"):
@@ -71,14 +72,16 @@ def calc_extrapolated_cdf(
     else:  # 'min'
         pp_first, pp_last = jnp.asarray(pp_min, data.dtype), pp_core[-1]
     pp = jnp.concatenate([pp_first[None], pp_core, pp_last[None]])
+    pp = jnp.broadcast_to(pp, (*data.shape[:-1], n + 2))
 
-    v_first, v_last = data[0], data[-1]
+    v_first = data[..., 0]
+    v_last = data[..., -1]
     if extrapolate in ("min", "both"):
         # OLS of vals ~ pp over the first n_endpoints knots, evaluated at pp[0]
-        slope, intercept = ols_1d(pp_core[:n_endpoints], data[:n_endpoints])
-        v_first = ols_predict_1d(slope, intercept, pp[0])
+        slope, intercept = ols_1d(pp_core[:n_endpoints], data[..., :n_endpoints])
+        v_first = ols_predict_1d(slope, intercept, pp_first)
     if extrapolate in ("max", "both"):
-        slope, intercept = ols_1d(pp_core[-n_endpoints:], data[-n_endpoints:])
-        v_last = ols_predict_1d(slope, intercept, pp[-1])
-    vals = jnp.concatenate([v_first[None], data, v_last[None]])
+        slope, intercept = ols_1d(pp_core[-n_endpoints:], data[..., -n_endpoints:])
+        v_last = ols_predict_1d(slope, intercept, pp_last)
+    vals = jnp.concatenate([v_first[..., None], data, v_last[..., None]], axis=-1)
     return Cdf(pp, vals)

@@ -18,18 +18,100 @@ Single-series functions over the last axis; batch with ``jax.vmap``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["interp", "interp_padded", "pad_table"]
+__all__ = ["interp", "interp_ramp", "interp_rows", "interp_padded", "pad_table"]
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+def interp_rows(xp, fp, q):
+    """Row-matched batched interp: ``out[..., b, i] = interp(q[..., b, i],
+    xp[..., b, :], fp[..., b, :])`` over arbitrary leading dims.
+
+    Dispatches to the fused Pallas kernel on TPU (the XLA lowering of the
+    batched bracketing materializes huge HBM intermediates); falls back to
+    the dense XLA formulation elsewhere.  Tables must be monotone rows,
+    ragged rows padded per :func:`pad_table`.
+    """
+    lead = xp.shape[:-1]
+    L = xp.shape[-1]
+    Q = q.shape[-1]
+    if q.shape[:-1] != lead:
+        q = jnp.broadcast_to(q, (*lead, Q))
+    if _use_pallas():
+        from .pallas.interp_kernel import batched_interp
+
+        out = batched_interp(xp.reshape(-1, L), fp.reshape(-1, L), q.reshape(-1, Q))
+    else:
+        flat = jax.vmap(lambda qq, xx, ff: interp_ramp(qq, xx, ff))
+        out = flat(q.reshape(-1, Q), xp.reshape(-1, L), fp.reshape(-1, L))
+    return out.reshape(*lead, Q)
+
+
+def interp_ramp(x, xp, fp):
+    """``np.interp`` (clamped ends) as a dense one-hot formulation — the
+    TPU-native interp for small-to-medium tables.
+
+    The interval index is a comparison count (``Σ xp <= x`` — a dense
+    (queries x knots) bool reduction on the VPU, no binary search) and the
+    knot values are selected with a one-hot matmul (MXU) instead of gathers.
+    The final lerp is numpy's own local formula
+    ``fp[i] + (x - xp[i]) * (fp[i+1] - fp[i]) / (xp[i+1] - xp[i])`` — no
+    telescoping sums, so huge synthetic endpoints (the quantile machinery's
+    ±1e20 sentinels) don't poison interior queries.  Orders of magnitude
+    faster than ``jnp.interp``'s binary-search lowering under (double-)vmap
+    on TPU.
+
+    Edge semantics match ``np.interp``: ends clamp, tied knots resolve to
+    the last tie, ``+inf``-padded ragged tails clamp to the last valid knot.
+    """
+    # Bracketing knots via masked min/max REDUCTIONS over the knot axis —
+    # valid because every table here is a CDF (xp and fp both monotone
+    # non-decreasing).  XLA fuses broadcast-compare-reduce chains into pure
+    # VPU loops with no materialized intermediates, unlike gather/one-hot
+    # selection which is orders of magnitude slower under double vmap.
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    le = x[..., None] >= xp  # (..., L)
+    x0 = jnp.max(jnp.where(le, xp, -inf), axis=-1)  # xp[i],  i = last knot <= x
+    f0 = jnp.max(jnp.where(le, fp, -inf), axis=-1)  # fp[i]   (last tie wins)
+    x1 = jnp.min(jnp.where(le, inf, xp), axis=-1)  # xp[i+1]
+    f1 = jnp.min(jnp.where(le, inf, fp), axis=-1)  # fp[i+1]
+    # clip ±inf (pads / empty brackets) to a huge finite bound so the pad
+    # interval's slope is exactly representable (≈0) instead of inf*0 = NaN
+    big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
+    x0 = jnp.clip(x0, -big, big)
+    x1 = jnp.clip(x1, -big, big)
+    f1 = jnp.minimum(f1, big)
+    dx = x1 - x0
+    slope = (f1 - f0) / jnp.where(dx != 0, dx, 1.0)
+    slope = jnp.where(dx != 0, slope, 0.0)  # zero-width interval -> f0
+    # evaluate from the NEARER knot: numerically stable when one knot is a
+    # huge synthetic endpoint (±1e20 pp sentinels).  np.interp always anchors
+    # left and returns catastrophic-cancellation noise there; this returns
+    # the exact linear value instead (documented divergence).
+    use_right = (x - x0) > (x1 - x)
+    res = jnp.where(use_right, f1 + (x - x1) * slope, f0 + (x - x0) * slope)
+    res = jnp.where(x < xp[0], fp[0], res)
+    res = jnp.where(x > xp[-1], fp[-1], res)
+    return res
 
 
 def interp(x, xp, fp, left=None, right=None):
     """``np.interp`` with static left/right overrides.
 
     ``left``/``right`` are static Python scalars or None (np.interp default:
-    clamp to the end values of ``fp``).
+    clamp to the end values of ``fp``).  Uses the dense ramp formulation
+    (see :func:`interp_ramp`) — the binary-search lowering of
+    ``jnp.interp`` is orders of magnitude slower on TPU under vmap.
     """
-    res = jnp.interp(x, xp, fp)
+    res = interp_ramp(x, xp, fp)
     if left is not None:
         res = jnp.where(x < xp[0], left, res)
     if right is not None:
@@ -41,13 +123,15 @@ def pad_table(xp, fp, valid):
     """Prepare a ragged table for :func:`interp_padded`.
 
     Invalid (padding) entries must be at the *end*.  Sets padded ``xp`` to
-    ``+inf`` (preserves sorted order) and padded ``fp`` to 0 (makes the
-    interpolation slope into the pad region exactly 0, so queries beyond the
-    last valid knot clamp to the last valid ``fp`` — np.interp's default
-    right behavior).
+    ``+inf`` (preserves sorted order) and padded ``fp`` to the last *valid*
+    ``fp`` — this keeps ``fp`` monotone (required by the reduction-based
+    bracketing in :func:`interp_ramp`) and makes the slope into the pad
+    region exactly 0, so queries beyond the last valid knot clamp to the
+    last valid ``fp`` (np.interp's default right behavior).
     """
     xp = jnp.where(valid, xp, jnp.inf)
-    fp = jnp.where(valid, fp, 0.0)
+    f_last = jnp.max(jnp.where(valid, fp, -jnp.inf), axis=-1, keepdims=True)
+    fp = jnp.where(valid, fp, f_last)
     return xp, fp
 
 
@@ -58,11 +142,9 @@ def interp_padded(x, xp, fp, n_valid, left=None, right=None):
     ``xp``/``fp`` must already be in :func:`pad_table` form; ``n_valid`` may
     be traced.  ``left``/``right`` are static scalars or None.
     """
-    res = jnp.interp(x, xp, fp)
-    x_last = xp[n_valid - 1]
-    f_last = fp[n_valid - 1]
-    # beyond the last valid knot: np.interp default clamps to fp[n_valid-1]
-    res = jnp.where(x > x_last, f_last if right is None else right, res)
+    res = interp_ramp(x, xp, fp)  # inf pads clamp to the last valid knot
+    if right is not None:
+        res = jnp.where(x > xp[n_valid - 1], right, res)
     if left is not None:
         res = jnp.where(x < xp[0], left, res)
     return res

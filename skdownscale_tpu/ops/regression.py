@@ -28,23 +28,34 @@ __all__ = [
 
 
 def ols_1d(x, y, w=None):
-    """Simple least squares ``y ~ a + b*x`` -> (slope, intercept).
+    """Simple least squares ``y ~ a + b*x`` over the LAST axis ->
+    (slope, intercept) with the leading (batch) dims preserved.
 
     Matches ``sklearn.linear_model.LinearRegression`` on one feature
     (centered closed form).  ``w`` is an optional 0/1 (or general) weight
-    vector selecting/weighting samples.
+    array selecting/weighting samples.  Inputs broadcast against each other.
     """
     if w is None:
-        xm = jnp.mean(x)
-        ym = jnp.mean(y)
+        x, y = jnp.broadcast_arrays(x, y)
+        xm = jnp.mean(x, axis=-1, keepdims=True)
+        ym = jnp.mean(y, axis=-1, keepdims=True)
         dx = x - xm
-        slope = jnp.dot(dx, y - ym) / jnp.dot(dx, dx)
+        num = jnp.sum(dx * (y - ym), axis=-1)
+        den = jnp.sum(dx * dx, axis=-1)
     else:
-        wsum = jnp.sum(w)
-        xm = jnp.sum(w * x) / wsum
-        ym = jnp.sum(w * y) / wsum
+        x, y, w = jnp.broadcast_arrays(x, y, w)
+        wsum = jnp.sum(w, axis=-1, keepdims=True)
+        xm = jnp.sum(w * x, axis=-1, keepdims=True) / wsum
+        ym = jnp.sum(w * y, axis=-1, keepdims=True) / wsum
         dx = x - xm
-        slope = jnp.sum(w * dx * (y - ym)) / jnp.sum(w * dx * dx)
+        num = jnp.sum(w * dx * (y - ym), axis=-1)
+        den = jnp.sum(w * dx * dx, axis=-1)
+    xm = xm[..., 0]
+    ym = ym[..., 0]
+    # zero-variance design: sklearn's lstsq returns the min-norm solution
+    # (coef 0, intercept = mean) — the quantile tail re-extrapolation hits
+    # this when cancellation collapses the pp knots to a constant
+    slope = jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
     intercept = ym - slope * xm
     return slope, intercept
 

@@ -1,0 +1,356 @@
+"""Gridded ("pointwise") downscaling runtime.
+
+TPU-native re-design of ``PointWiseDownscaler``
+(``/root/reference/skdownscale/pointwise_models/core.py:200-448``).  The
+reference broadcasts a scikit-learn estimator over every grid cell with a
+Python loop (or dask ``map_blocks``), holding fitted models in an
+object-dtype xarray.  Here the grid is packed once into ``(cells, time,
+features)`` arrays, NaN (ocean/missing) cells are compacted out, and the
+model's *batched* implementation (:mod:`.models.batched`) fits/predicts all
+cells in one XLA program — vmapped over the cell axis and, when a
+``jax.sharding.Mesh`` is supplied, SPMD-sharded over it (fitted state is
+co-sharded with the cells; nothing is ever broadcast, unlike the reference's
+whole-model broadcast at ``core.py:331-335``).
+
+Estimators without a batched implementation fall back to the reference-style
+per-cell object loop, so any sklearn-compatible estimator still works.
+
+Inputs duck-type xarray: real ``xarray.DataArray``/``Dataset`` when xarray is
+installed, or :mod:`skdownscale_tpu.xlite` containers otherwise; outputs are
+built with the input's own type.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import batched as _b
+from .xlite import DataArray as _XliteDataArray
+from .xlite import is_dataarray, is_dataset
+
+DEFAULT_FEATURE_DIM = "variable"
+
+__all__ = ["PointWiseDownscaler", "DEFAULT_FEATURE_DIM"]
+
+
+def _dataarray_type(X):
+    """Constructor for outputs matching the input's package (xarray or xlite)."""
+    t = type(X)
+    if t.__module__.startswith("xarray"):
+        import xarray as xr
+
+        return lambda data, dims, coords: xr.DataArray(
+            data, dims=dims, coords={k: v for k, v in coords.items() if k in dims}
+        )
+    return lambda data, dims, coords: _XliteDataArray(
+        data, dims, {k: v for k, v in coords.items() if k in dims}
+    )
+
+
+def _time_index(coord, n):
+    """Convert a time coordinate to a pandas DatetimeIndex when possible."""
+    import pandas as pd
+
+    if coord is None:
+        warnings.warn("X does not have a time coordinate, making one up...")
+        return pd.date_range(start="1950", periods=n, freq="MS")
+    try:
+        return pd.DatetimeIndex(np.asarray(coord))
+    except (TypeError, ValueError):
+        return pd.Index(np.asarray(coord))
+
+
+class PointWiseDownscaler:
+    """Apply a downscaling estimator over every cell of a labeled grid.
+
+    Parameters
+    ----------
+    model : estimator
+        Any object with the scikit-learn fit/predict API.  Estimators from
+        this package run fully batched on TPU; others fall back to a
+        per-cell loop.
+    dim : str
+        Time dimension name (default ``'time'``).
+    sharding : jax.sharding.Mesh or jax.sharding.NamedSharding, optional
+        Shard the cell axis over a device mesh.  A ``Mesh`` uses its first
+        axis name; fitted state inherits the sharding.
+    """
+
+    def __init__(self, model, dim: str = "time", sharding=None):
+        self._dim = dim
+        self._model = model
+        self._models = None  # per-cell object array (fallback path)
+        self._state = None  # batched state pytree
+        self.sharding = sharding
+
+        if not hasattr(model, "fit"):
+            raise TypeError(
+                f"Type {type(model)} does not have the fit method required by PointWiseDownscaler"
+            )
+
+    # ------------------------------------------------------------------
+    # packing
+    # ------------------------------------------------------------------
+    def _to_feature_x(self, X, feature_dim=DEFAULT_FEATURE_DIM):
+        """Mirror of ``core.py:427-440``: Dataset -> feature DataArray,
+        ensure the feature dim, transpose to (time, variable, ...)."""
+        if is_dataset(X):
+            X = X.to_array(feature_dim)
+        if feature_dim not in X.dims:
+            X = X.expand_dims(feature_dim, [f"{feature_dim}_0"], axis=1)
+        rest = [d for d in X.dims if d not in (self._dim, feature_dim)]
+        return X.transpose(self._dim, feature_dim, *rest)
+
+    def _pack(self, X, feature_dim=DEFAULT_FEATURE_DIM):
+        """(time, variable, *spatial) DataArray -> dict with (C, T, F) array."""
+        arr = np.asarray(X.values, dtype=float)
+        T, F = arr.shape[0], arr.shape[1]
+        spatial_dims = tuple(X.dims[2:])
+        spatial_shape = arr.shape[2:]
+        C = int(np.prod(spatial_shape)) if spatial_shape else 1
+        flat = arr.reshape(T, F, C)
+        packed = np.moveaxis(flat, 2, 0)  # (C, T, F)
+        coord = X.coords.get(self._dim)
+        return {
+            "packed": packed,
+            "spatial_dims": spatial_dims,
+            "spatial_shape": spatial_shape,
+            "coords": dict(X.coords),
+            "index": _time_index(coord, T),
+            "n_cells": C,
+        }
+
+    def _device(self, arr):
+        a = jnp.asarray(arr)
+        if self.sharding is None:
+            return a
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        sh = self.sharding
+        if isinstance(sh, Mesh):
+            sh = NamedSharding(sh, P(sh.axis_names[0], *([None] * (a.ndim - 1))))
+        return jax.device_put(a, sh)
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit(self, X, *args, **kwargs):
+        if len(args) > 1:
+            raise ValueError(f"Expected at most 1 positional argument, got {len(args)}")
+        y = args[0] if args else None
+        feature_dim = kwargs.pop("feature_dim", DEFAULT_FEATURE_DIM)
+
+        Xf = self._to_feature_x(X, feature_dim)
+        px = self._pack(Xf, feature_dim)
+
+        # cell mask from the first (time, variable) slice (core.py:35-37)
+        first = px["packed"][:, 0, 0]
+        mask = np.isfinite(first)
+        self._mask = mask
+        self._px_meta = {k: px[k] for k in ("spatial_dims", "spatial_shape", "coords", "n_cells")}
+        self._fit_index = px["index"]
+        self._fit_T = px["packed"].shape[1]
+        self._maker = _dataarray_type(X if is_dataarray(X) else Xf)
+
+        yc = None
+        if y is not None:
+            yf = np.asarray(self._to_feature_x(y, feature_dim).values, dtype=float)
+            if yf.shape[1] != 1:
+                raise ValueError("y must have a single variable")
+            yc = np.moveaxis(yf.reshape(yf.shape[0], yf.shape[1], -1), 2, 0)[:, :, 0]  # (C, T)
+
+        if _b.supports_batched(self._model):
+            Xv = px["packed"][mask]
+            yv = yc[mask] if yc is not None else None
+            self._state = _b.batched_fit(
+                self._model,
+                self._fit_index,
+                self._device(Xv),
+                self._device(yv) if yv is not None else None,
+            )
+            self._models = None
+        else:
+            self._fit_fallback(px["packed"], yc, mask)
+        return self
+
+    def _cell_df(self, packed, c, index):
+        import pandas as pd
+
+        fnames = self._feature_names()
+        return pd.DataFrame(packed[c], index=index, columns=fnames)
+
+    def _feature_names(self):
+        coords = self._px_meta["coords"] if hasattr(self, "_px_meta") else {}
+        names = coords.get(DEFAULT_FEATURE_DIM)
+        if names is None:
+            return [f"{DEFAULT_FEATURE_DIM}_0"]
+        return list(np.asarray(names))
+
+    def _fit_fallback(self, packed, yc, mask):
+        import pandas as pd
+
+        C = packed.shape[0]
+        models = np.full(C, None, dtype=object)
+        for c in range(C):
+            if not mask[c]:
+                continue
+            mod = copy.deepcopy(self._model)
+            xdf = self._cell_df(packed, c, self._fit_index)
+            if yc is not None:
+                ydf = pd.DataFrame(yc[c], index=self._fit_index)
+                models[c] = mod.fit(xdf, ydf)
+            else:
+                models[c] = mod.fit(xdf)
+        self._models = models
+        self._state = None
+
+    # ------------------------------------------------------------------
+    # predict / transform
+    # ------------------------------------------------------------------
+    def _n_outputs(self):
+        try:
+            return self._model.n_outputs, list(self._model.output_names)
+        except AttributeError:
+            return 1, None
+
+    def predict(self, X, **kwargs):
+        feature_dim = kwargs.pop("feature_dim", DEFAULT_FEATURE_DIM)
+        Xf = self._to_feature_x(X, feature_dim)
+        px = self._pack(Xf, feature_dim)
+        n_outputs, output_names = self._n_outputs()
+        T, C = px["packed"].shape[1], px["n_cells"]
+        mask = self._mask
+
+        if self._state is not None:
+            out_v = np.asarray(
+                _b.batched_predict(
+                    self._model,
+                    self._state,
+                    self._fit_index,
+                    self._device(px["packed"][mask]),
+                    px["index"],
+                )
+            )
+        else:
+            out_v = self._predict_fallback(px, n_outputs)
+
+        if n_outputs == 1:
+            full = np.full((C, T), np.nan)
+            full[mask] = out_v.reshape(mask.sum(), T)
+            data = np.moveaxis(full, 0, 1).reshape(T, *px["spatial_shape"])
+            dims = (self._dim, *px["spatial_dims"])
+        else:
+            full = np.full((C, T, n_outputs), np.nan)
+            full[mask] = out_v
+            data = np.moveaxis(full, 0, 2).reshape(T, n_outputs, *px["spatial_shape"])
+            dims = (self._dim, feature_dim, *px["spatial_dims"])
+        coords = dict(px["coords"])
+        if n_outputs > 1:
+            coords[feature_dim] = output_names
+        else:
+            coords.pop(feature_dim, None)
+        return _dataarray_type(X if is_dataarray(X) else Xf)(data, dims, coords)
+
+    def _predict_fallback(self, px, n_outputs):
+        mask = self._mask
+        rows = []
+        for c in np.nonzero(mask)[0]:
+            xdf = self._cell_df(px["packed"], c, px["index"])
+            res = np.asarray(self._models[c].predict(xdf))
+            rows.append(res.reshape(px["packed"].shape[1], -1) if n_outputs > 1 else res.reshape(-1))
+        return np.stack(rows)
+
+    def transform(self, X, **kwargs):
+        return self._transform(X, "transform", **kwargs)
+
+    def inverse_transform(self, X, **kwargs):
+        return self._transform(X, "inverse_transform", **kwargs)
+
+    def _transform(self, X, direction, **kwargs):
+        feature_dim = kwargs.pop("feature_dim", DEFAULT_FEATURE_DIM)
+        Xf = self._to_feature_x(X, feature_dim)
+        px = self._pack(Xf, feature_dim)
+        T, C = px["packed"].shape[1], px["n_cells"]
+        mask = self._mask
+
+        if self._state is not None:
+            out_v = np.asarray(
+                _b.batched_transform(
+                    self._model,
+                    self._state,
+                    self._fit_index,
+                    self._device(px["packed"][mask]),
+                    px["index"],
+                    direction,
+                )
+            )
+        else:
+            rows = []
+            for c in np.nonzero(mask)[0]:
+                xdf = self._cell_df(px["packed"], c, px["index"])
+                rows.append(np.asarray(getattr(self._models[c], direction)(xdf)).reshape(-1))
+            out_v = np.stack(rows)
+
+        full = np.full((C, T), np.nan)
+        full[mask] = out_v.reshape(mask.sum(), T)
+        data = np.moveaxis(full, 0, 1).reshape(T, 1, *px["spatial_shape"])
+        data = data if feature_dim in Xf.dims else data[:, 0]
+        dims = Xf.dims
+        return _dataarray_type(X if is_dataarray(X) else Xf)(
+            data.reshape([Xf.sizes[d] for d in dims]), dims, dict(px["coords"])
+        )
+
+    # ------------------------------------------------------------------
+    # fitted-attribute access
+    # ------------------------------------------------------------------
+    def get_attr(self, key: str, dtype=None, template_output=None):
+        """Gather a fitted attribute from every cell (``core.py:405-425``)."""
+        meta = self._px_meta
+        C = meta["n_cells"]
+        mask = self._mask
+
+        if self._state is not None:
+            attrs = _b.batched_attrs(self._model, self._state)
+            if key not in attrs:
+                raise AttributeError(
+                    f"attribute {key!r} is not exposed by the batched "
+                    f"implementation of {type(self._model).__name__}; "
+                    f"available: {sorted(attrs)}"
+                )
+            vals = np.asarray(attrs[key])  # (Cv, ...)
+            extra_shape = vals.shape[1:]
+        else:
+            cells = [getattr(self._models[c], key) for c in np.nonzero(mask)[0]]
+            vals = np.asarray(cells)
+            extra_shape = vals.shape[1:]
+
+        full = np.full((C, *extra_shape), np.nan, dtype=dtype or float)
+        full[mask] = vals
+        spatial = meta["spatial_shape"]
+        data = np.moveaxis(full.reshape(C, -1), 0, 1).reshape(*extra_shape, *spatial) if extra_shape else full.reshape(spatial)
+
+        if template_output is not None:
+            tdims = tuple(template_output.dims)
+            tcoords = dict(getattr(template_output, "coords", {}))
+            return _dataarray_type(template_output)(
+                data.reshape([template_output.sizes[d] for d in tdims]), tdims, tcoords
+            )
+        dims = meta["spatial_dims"]
+        extra_dims = tuple(f"dim_{i}" for i in range(len(extra_shape)))
+        coords = {k: v for k, v in meta["coords"].items() if k in dims}
+        return self._maker(data, (*extra_dims, *dims), coords)
+
+    def __repr__(self):
+        status = self._state is not None or self._models is not None
+        return "\n".join(
+            [
+                f"<skdownscale_tpu.{type(self).__name__}>",
+                f"  Fit Status: {status}",
+                f"  Model:\n    {self._model}",
+            ]
+        )

@@ -1,0 +1,129 @@
+"""Unit tests for the L0 ops layer against numpy/pandas semantics."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from skdownscale_tpu.ops.interp import interp_padded, interp_ramp, pad_table
+from skdownscale_tpu.ops.regression import linreg_fit, logistic_fit, logistic_predict_proba, ols_1d
+from skdownscale_tpu.ops.rolling import rolling_mean, rolling_std
+
+
+class TestInterpRamp:
+    def test_matches_np_interp_basic(self, rng):
+        xp = np.sort(rng.normal(0, 5, 200))
+        fp = np.cumsum(rng.uniform(0, 1, 200))
+        q = rng.normal(0, 7, 500)  # includes out-of-range
+        npt.assert_allclose(
+            np.asarray(interp_ramp(jnp.asarray(q), jnp.asarray(xp), jnp.asarray(fp))),
+            np.interp(q, xp, fp),
+            rtol=1e-12,
+        )
+
+    def test_ties(self):
+        # precipitation-style ties (many zeros)
+        xp = np.array([0.0, 0.0, 0.0, 1.0, 2.0, 2.0, 3.0])
+        fp = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+        q = np.array([-1.0, 0.0, 0.5, 1.0, 2.0, 2.5, 3.0, 9.0])
+        npt.assert_allclose(
+            np.asarray(interp_ramp(jnp.asarray(q), jnp.asarray(xp), jnp.asarray(fp))),
+            np.interp(q, xp, fp),
+            rtol=1e-12,
+        )
+
+    def test_huge_sentinel_endpoints(self, rng):
+        # extrapolate='both' CDF shape: +-1e20 pp endpoints, ~1e17 values
+        pp = np.concatenate([[-1e20], (np.arange(1, 401) - 0.4) / 400.2, [1e20]])
+        vals = np.concatenate([[-8.7e16], np.sort(rng.normal(10, 3, 400)), [9.1e16]])
+        q = np.concatenate([[-1e20, 1e20], rng.uniform(0, 1, 100)])
+        npt.assert_allclose(
+            np.asarray(interp_ramp(jnp.asarray(q), jnp.asarray(vals * 0 + pp), jnp.asarray(vals))),
+            np.interp(q, vals * 0 + pp, vals),
+            rtol=1e-12,
+        )
+
+    def test_nan_queries(self):
+        xp = np.array([0.0, 1.0, 2.0])
+        fp = np.array([0.0, 10.0, 20.0])
+        out = np.asarray(interp_ramp(jnp.asarray([np.nan, 0.5]), jnp.asarray(xp), jnp.asarray(fp)))
+        assert np.isnan(out[0]) and out[1] == 5.0
+
+    def test_padded_table(self):
+        valid = np.array([True, True, True, False, False])
+        xp, fp = pad_table(
+            jnp.asarray([1.0, 2.0, 3.0, 9.0, 9.0]),
+            jnp.asarray([10.0, 20.0, 30.0, 7.0, 7.0]),
+            jnp.asarray(valid),
+        )
+        npt.assert_allclose(np.asarray(fp), [10.0, 20.0, 30.0, 30.0, 30.0])
+        q = np.array([0.5, 1.5, 3.0, 4.0, 100.0])
+        out = np.asarray(interp_padded(jnp.asarray(q), xp, fp, 3))
+        npt.assert_allclose(out, [10.0, 15.0, 30.0, 30.0, 30.0])
+        out2 = np.asarray(
+            interp_padded(jnp.asarray(q), jnp.asarray(xp), jnp.asarray(fp), 3, right=np.inf)
+        )
+        assert np.isinf(out2[-1]) and np.isinf(out2[-2])
+
+
+class TestRegression:
+    def test_ols_matches_sklearn(self, rng):
+        from sklearn.linear_model import LinearRegression
+
+        x = rng.normal(size=100)
+        y = 2 * x + 1 + rng.normal(0, 0.1, 100)
+        s, i = ols_1d(jnp.asarray(x), jnp.asarray(y))
+        lr = LinearRegression().fit(x.reshape(-1, 1), y)
+        npt.assert_allclose([float(s), float(i)], [lr.coef_[0], lr.intercept_], rtol=1e-10)
+
+    def test_weighted_ols_equals_subset(self, rng):
+        x = rng.normal(size=50)
+        y = rng.normal(size=50)
+        w = (rng.uniform(size=50) > 0.4).astype(float)
+        s1, i1 = ols_1d(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w))
+        sel = w.astype(bool)
+        s2, i2 = ols_1d(jnp.asarray(x[sel]), jnp.asarray(y[sel]))
+        npt.assert_allclose([float(s1), float(i1)], [float(s2), float(i2)], rtol=1e-9)
+
+    def test_linreg_multifeature_matches_sklearn(self, rng):
+        from sklearn.linear_model import LinearRegression
+
+        X = rng.normal(size=(80, 3))
+        y = X @ np.array([1.0, -2.0, 0.5]) + 3 + rng.normal(0, 0.1, 80)
+        coef, intercept = linreg_fit(jnp.asarray(X), jnp.asarray(y))
+        lr = LinearRegression().fit(X, y)
+        npt.assert_allclose(np.asarray(coef), lr.coef_, rtol=1e-8)
+        npt.assert_allclose(float(intercept), lr.intercept_, rtol=1e-8)
+
+    def test_logistic_matches_sklearn(self, rng):
+        from sklearn.linear_model import LogisticRegression
+
+        X = rng.normal(size=(150, 2))
+        y = (X[:, 0] + 0.5 * X[:, 1] + rng.normal(0, 0.5, 150) > 0).astype(float)
+        coef, intercept = logistic_fit(jnp.asarray(X), jnp.asarray(y))
+        sk = LogisticRegression().fit(X, y.astype(int))
+        npt.assert_allclose(np.asarray(coef), sk.coef_[0], rtol=2e-3, atol=1e-4)
+        p_ours = np.asarray(logistic_predict_proba(coef, intercept, jnp.asarray(X)))
+        p_sk = sk.predict_proba(X)[:, 1]
+        npt.assert_allclose(p_ours, p_sk, rtol=5e-3, atol=5e-4)
+
+
+class TestRolling:
+    @pytest.mark.parametrize("window", [9, 31, 4])
+    @pytest.mark.parametrize("min_periods", [None, 1])
+    def test_mean_matches_pandas(self, rng, window, min_periods):
+        s = pd.Series(rng.normal(size=100))
+        expected = s.rolling(window, center=True, min_periods=min_periods).mean()
+        got = np.asarray(
+            rolling_mean(jnp.asarray(s.to_numpy()), window, min_periods=min_periods)
+        )
+        npt.assert_allclose(got, expected.to_numpy(), rtol=1e-10, equal_nan=True)
+
+    @pytest.mark.parametrize("window", [9, 31])
+    def test_std_matches_pandas(self, rng, window):
+        s = pd.Series(rng.normal(size=100))
+        expected = s.rolling(window, center=True).std()
+        got = np.asarray(rolling_std(jnp.asarray(s.to_numpy()), window))
+        npt.assert_allclose(got, expected.to_numpy(), rtol=1e-7, equal_nan=True)

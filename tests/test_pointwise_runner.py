@@ -1,0 +1,163 @@
+"""Grid-runner integration tests (model of the reference's
+``test_pointwise_runner.py``): fixtures with point and 2-D grids, NaN cells,
+multi-output GARD templates, transform paths, get_attr, fallback estimators,
+and batched-vs-single-cell consistency."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+import skdownscale_tpu as sdt
+from skdownscale_tpu.xlite import DataArray, Dataset
+
+
+@pytest.fixture
+def grid_data(rng):
+    idx = pd.date_range("1990-01-01", "1999-12-01", freq="MS")
+    T, ny, nx = len(idx), 3, 4
+    X = 283 + 8 * np.sin(2 * np.pi * (np.arange(T) % 12) / 12)[:, None, None] + rng.normal(
+        0, 2, (T, ny, nx)
+    )
+    y = X - 1.2 + rng.normal(0, 0.5, (T, ny, nx))
+    X[:, 0, 0] = np.nan  # an ocean cell
+    coords = {"time": idx, "y": np.arange(ny), "x": np.arange(nx)}
+    return (
+        DataArray(X, ("time", "y", "x"), coords),
+        DataArray(y, ("time", "y", "x"), coords),
+        idx,
+    )
+
+
+def test_fit_predict_quantile_mapping(grid_data):
+    X, y, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.QuantileMappingReressor(extrapolate="both"))
+    d.fit(X, y)
+    out = d.predict(X)
+    assert out.dims == ("time", "y", "x")
+    assert out.shape == X.shape
+    assert np.isnan(out.values[:, 0, 0]).all()  # masked cell stays NaN
+    assert np.isfinite(out.values[:, 1:, :]).all()
+
+
+def test_batched_matches_single_cell(grid_data):
+    X, y, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.QuantileMappingReressor(extrapolate="both"))
+    d.fit(X, y)
+    out = d.predict(X)
+    # single-cell estimator on one specific cell must agree exactly
+    cy, cx = 2, 3
+    single = sdt.QuantileMappingReressor(extrapolate="both").fit(
+        X.values[:, cy, cx].reshape(-1, 1), y.values[:, cy, cx]
+    )
+    expected = single.predict(X.values[:, cy, cx].reshape(-1, 1))
+    npt.assert_allclose(out.values[:, cy, cx], expected, rtol=1e-10)
+
+
+def test_transform_path(grid_data):
+    X, _, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.QuantileMapper())
+    d.fit(X)
+    out = d.transform(X)
+    assert out.dims == X.dims or out.dims == ("time", "variable", "y", "x")
+    assert out.values.shape[-2:] == (3, 4)
+
+
+def test_trend_transform_roundtrip(grid_data):
+    X, _, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.LinearTrendTransformer())
+    d.fit(X)
+    t = d.transform(X)
+    back = d.inverse_transform(t)
+    back_vals = back.values.reshape(X.shape)  # transform keeps the packed variable dim
+    valid = ~np.isnan(X.values)
+    npt.assert_allclose(back_vals[valid], X.values[valid], rtol=1e-8)
+
+
+def test_gard_multi_output(grid_data):
+    X, y, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.PureAnalog(n_analogs=10, kind="mean_analogs"))
+    d.fit(X, y)
+    out = d.predict(X)
+    assert out.dims == ("time", "variable", "y", "x")
+    assert out.sizes["variable"] == 3
+    assert list(out.coords["variable"]) == ["pred", "exceedance_prob", "prediction_error"]
+    assert np.isnan(out.values[:, :, 0, 0]).all()
+
+
+def test_bcsd_grid(grid_data):
+    X, y, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+    d.fit(X, y)
+    out = d.predict(X)
+    assert out.shape == X.shape
+    # agreement with the single-cell wrapper
+    cy, cx = 1, 2
+    single = sdt.BcsdTemperature(return_anoms=False).fit(
+        pd.DataFrame({"v": X.values[:, cy, cx]}, index=idx),
+        pd.DataFrame({"v": y.values[:, cy, cx]}, index=idx),
+    )
+    expected = single.predict(pd.DataFrame({"v": X.values[:, cy, cx]}, index=idx))
+    npt.assert_allclose(out.values[:, cy, cx], expected.to_numpy().ravel(), rtol=1e-8)
+
+
+def test_get_attr(grid_data):
+    X, y, idx = grid_data
+    d = sdt.PointWiseDownscaler(sdt.BcsdTemperature())
+    d.fit(X, y)
+    climo = d.get_attr("y_climo_", dtype=float)
+    assert climo.shape[-2:] == (3, 4)
+    assert np.isnan(np.asarray(climo.values)[..., 0, 0]).all()
+
+
+def test_dataset_input(grid_data, rng):
+    X, y, idx = grid_data
+    ds = Dataset({"tmax": X})
+    d = sdt.PointWiseDownscaler(sdt.QuantileMapper())
+    d.fit(ds)
+    out = d.transform(ds)
+    assert out.values.shape[0] == X.shape[0]
+
+
+def test_fallback_sklearn_estimator(grid_data):
+    from sklearn.linear_model import LinearRegression
+
+    X, y, idx = grid_data
+    d = sdt.PointWiseDownscaler(LinearRegression())
+    d.fit(X, y)
+    out = d.predict(X)
+    assert out.shape == X.shape
+    assert np.isnan(out.values[:, 0, 0]).all()
+    # spot-check one cell
+    lr = LinearRegression().fit(X.values[:, 1, 1].reshape(-1, 1), y.values[:, 1, 1])
+    npt.assert_allclose(
+        out.values[:, 1, 1], lr.predict(X.values[:, 1, 1].reshape(-1, 1)), rtol=1e-8
+    )
+
+
+def test_point_dim_input(rng):
+    # 1-D "point" spatial layout (reference random_point_data)
+    idx = pd.date_range("1990-01-01", "1996-12-01", freq="MS")
+    T, P = len(idx), 5
+    X = DataArray(
+        280 + rng.normal(0, 2, (T, P)), ("time", "point"), {"time": idx, "point": np.arange(P)}
+    )
+    y = DataArray(X.values - 1.0, ("time", "point"), {"time": idx, "point": np.arange(P)})
+    d = sdt.PointWiseDownscaler(sdt.ZScoreRegressor())
+    d.fit(X, y)
+    out = d.predict(X)
+    assert out.dims == ("time", "point")
+    assert out.shape == (T, P)
+
+
+def test_repr(grid_data):
+    X, y, _ = grid_data
+    d = sdt.PointWiseDownscaler(sdt.QuantileMapper())
+    assert "Fit Status: False" in repr(d)
+    d.fit(X)
+    assert "Fit Status: True" in repr(d)
+
+
+def test_model_without_fit_raises():
+    with pytest.raises(TypeError, match="fit"):
+        sdt.PointWiseDownscaler(object())
