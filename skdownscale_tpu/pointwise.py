@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import batched as _b
+from .utils import native as _native
 from .xlite import DataArray as _XliteDataArray
 from .xlite import is_dataarray, is_dataset
 
@@ -107,23 +108,33 @@ class PointWiseDownscaler:
         return X.transpose(self._dim, feature_dim, *rest)
 
     def _pack(self, X, feature_dim=DEFAULT_FEATURE_DIM):
-        """(time, variable, *spatial) DataArray -> dict with (C, T, F) array."""
-        arr = np.asarray(X.values, dtype=float)
+        """(time, variable, *spatial) DataArray -> (T, F, C) view + metadata.
+
+        Cell compaction happens lazily against the fit mask via
+        :func:`_compact` (native multithreaded gather+transpose when the
+        gridpack library is available)."""
+        arr = np.asarray(X.values)
+        if arr.dtype not in (np.float32, np.float64):
+            arr = arr.astype(float)
         T, F = arr.shape[0], arr.shape[1]
         spatial_dims = tuple(X.dims[2:])
         spatial_shape = arr.shape[2:]
         C = int(np.prod(spatial_shape)) if spatial_shape else 1
-        flat = arr.reshape(T, F, C)
-        packed = np.moveaxis(flat, 2, 0)  # (C, T, F)
+        flat = np.ascontiguousarray(arr.reshape(T, F, C))
         coord = X.coords.get(self._dim)
         return {
-            "packed": packed,
+            "flat": flat,  # (T, F, C)
             "spatial_dims": spatial_dims,
             "spatial_shape": spatial_shape,
             "coords": dict(X.coords),
             "index": _time_index(coord, T),
             "n_cells": C,
         }
+
+    @staticmethod
+    def _compact(px, cell_ids):
+        """(T, F, C) -> (n_valid, T, F) for the selected cells."""
+        return _native.pack_compact(px["flat"], cell_ids)
 
     def _device(self, arr):
         a = jnp.asarray(arr)
@@ -149,24 +160,23 @@ class PointWiseDownscaler:
         px = self._pack(Xf, feature_dim)
 
         # cell mask from the first (time, variable) slice (core.py:35-37)
-        first = px["packed"][:, 0, 0]
-        mask = np.isfinite(first)
+        mask = _native.valid_mask(px["flat"][0, 0])
         self._mask = mask
+        self._cell_ids = np.nonzero(mask)[0].astype(np.int32)
         self._px_meta = {k: px[k] for k in ("spatial_dims", "spatial_shape", "coords", "n_cells")}
         self._fit_index = px["index"]
-        self._fit_T = px["packed"].shape[1]
+        self._fit_T = px["flat"].shape[0]
         self._maker = _dataarray_type(X if is_dataarray(X) else Xf)
 
-        yc = None
+        py = None
         if y is not None:
-            yf = np.asarray(self._to_feature_x(y, feature_dim).values, dtype=float)
-            if yf.shape[1] != 1:
+            py = self._pack(self._to_feature_x(y, feature_dim), feature_dim)
+            if py["flat"].shape[1] != 1:
                 raise ValueError("y must have a single variable")
-            yc = np.moveaxis(yf.reshape(yf.shape[0], yf.shape[1], -1), 2, 0)[:, :, 0]  # (C, T)
 
         if _b.supports_batched(self._model):
-            Xv = px["packed"][mask]
-            yv = yc[mask] if yc is not None else None
+            Xv = self._compact(px, self._cell_ids)
+            yv = self._compact(py, self._cell_ids)[:, :, 0] if py is not None else None
             self._state = _b.batched_fit(
                 self._model,
                 self._fit_index,
@@ -175,14 +185,14 @@ class PointWiseDownscaler:
             )
             self._models = None
         else:
-            self._fit_fallback(px["packed"], yc, mask)
+            self._fit_fallback(px, py, mask)
         return self
 
-    def _cell_df(self, packed, c, index):
+    def _cell_df(self, px, c, index):
         import pandas as pd
 
         fnames = self._feature_names()
-        return pd.DataFrame(packed[c], index=index, columns=fnames)
+        return pd.DataFrame(px["flat"][:, :, c], index=index, columns=fnames)
 
     def _feature_names(self):
         coords = self._px_meta["coords"] if hasattr(self, "_px_meta") else {}
@@ -191,18 +201,18 @@ class PointWiseDownscaler:
             return [f"{DEFAULT_FEATURE_DIM}_0"]
         return list(np.asarray(names))
 
-    def _fit_fallback(self, packed, yc, mask):
+    def _fit_fallback(self, px, py, mask):
         import pandas as pd
 
-        C = packed.shape[0]
+        C = px["n_cells"]
         models = np.full(C, None, dtype=object)
         for c in range(C):
             if not mask[c]:
                 continue
             mod = copy.deepcopy(self._model)
-            xdf = self._cell_df(packed, c, self._fit_index)
-            if yc is not None:
-                ydf = pd.DataFrame(yc[c], index=self._fit_index)
+            xdf = self._cell_df(px, c, self._fit_index)
+            if py is not None:
+                ydf = pd.DataFrame(py["flat"][:, 0, c], index=self._fit_index)
                 models[c] = mod.fit(xdf, ydf)
             else:
                 models[c] = mod.fit(xdf)
@@ -223,7 +233,7 @@ class PointWiseDownscaler:
         Xf = self._to_feature_x(X, feature_dim)
         px = self._pack(Xf, feature_dim)
         n_outputs, output_names = self._n_outputs()
-        T, C = px["packed"].shape[1], px["n_cells"]
+        T, C = px["flat"].shape[0], px["n_cells"]
         mask = self._mask
 
         if self._state is not None:
@@ -232,22 +242,22 @@ class PointWiseDownscaler:
                     self._model,
                     self._state,
                     self._fit_index,
-                    self._device(px["packed"][mask]),
+                    self._device(self._compact(px, self._cell_ids)),
                     px["index"],
                 )
             )
         else:
             out_v = self._predict_fallback(px, n_outputs)
 
+        nv = len(self._cell_ids)
+        unpacked = _native.unpack_scatter(
+            out_v.reshape(nv, T, n_outputs).astype(px["flat"].dtype), self._cell_ids, C
+        )  # (T, n_outputs, C)
         if n_outputs == 1:
-            full = np.full((C, T), np.nan)
-            full[mask] = out_v.reshape(mask.sum(), T)
-            data = np.moveaxis(full, 0, 1).reshape(T, *px["spatial_shape"])
+            data = unpacked[:, 0].reshape(T, *px["spatial_shape"])
             dims = (self._dim, *px["spatial_dims"])
         else:
-            full = np.full((C, T, n_outputs), np.nan)
-            full[mask] = out_v
-            data = np.moveaxis(full, 0, 2).reshape(T, n_outputs, *px["spatial_shape"])
+            data = unpacked.reshape(T, n_outputs, *px["spatial_shape"])
             dims = (self._dim, feature_dim, *px["spatial_dims"])
         coords = dict(px["coords"])
         if n_outputs > 1:
@@ -257,12 +267,12 @@ class PointWiseDownscaler:
         return _dataarray_type(X if is_dataarray(X) else Xf)(data, dims, coords)
 
     def _predict_fallback(self, px, n_outputs):
-        mask = self._mask
         rows = []
-        for c in np.nonzero(mask)[0]:
-            xdf = self._cell_df(px["packed"], c, px["index"])
+        T = px["flat"].shape[0]
+        for c in self._cell_ids:
+            xdf = self._cell_df(px, c, px["index"])
             res = np.asarray(self._models[c].predict(xdf))
-            rows.append(res.reshape(px["packed"].shape[1], -1) if n_outputs > 1 else res.reshape(-1))
+            rows.append(res.reshape(T, -1) if n_outputs > 1 else res.reshape(-1))
         return np.stack(rows)
 
     def transform(self, X, **kwargs):
@@ -275,8 +285,7 @@ class PointWiseDownscaler:
         feature_dim = kwargs.pop("feature_dim", DEFAULT_FEATURE_DIM)
         Xf = self._to_feature_x(X, feature_dim)
         px = self._pack(Xf, feature_dim)
-        T, C = px["packed"].shape[1], px["n_cells"]
-        mask = self._mask
+        T, C = px["flat"].shape[0], px["n_cells"]
 
         if self._state is not None:
             out_v = np.asarray(
@@ -284,25 +293,25 @@ class PointWiseDownscaler:
                     self._model,
                     self._state,
                     self._fit_index,
-                    self._device(px["packed"][mask]),
+                    self._device(self._compact(px, self._cell_ids)),
                     px["index"],
                     direction,
                 )
             )
         else:
             rows = []
-            for c in np.nonzero(mask)[0]:
-                xdf = self._cell_df(px["packed"], c, px["index"])
+            for c in self._cell_ids:
+                xdf = self._cell_df(px, c, px["index"])
                 rows.append(np.asarray(getattr(self._models[c], direction)(xdf)).reshape(-1))
             out_v = np.stack(rows)
 
-        full = np.full((C, T), np.nan)
-        full[mask] = out_v.reshape(mask.sum(), T)
-        data = np.moveaxis(full, 0, 1).reshape(T, 1, *px["spatial_shape"])
-        data = data if feature_dim in Xf.dims else data[:, 0]
+        nv = len(self._cell_ids)
+        unpacked = _native.unpack_scatter(
+            out_v.reshape(nv, T, 1).astype(px["flat"].dtype), self._cell_ids, C
+        )  # (T, 1, C)
         dims = Xf.dims
         return _dataarray_type(X if is_dataarray(X) else Xf)(
-            data.reshape([Xf.sizes[d] for d in dims]), dims, dict(px["coords"])
+            unpacked.reshape([Xf.sizes[d] for d in dims]), dims, dict(px["coords"])
         )
 
     # ------------------------------------------------------------------

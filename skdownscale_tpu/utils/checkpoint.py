@@ -1,0 +1,96 @@
+"""Checkpoint / resume for fitted downscalers.
+
+The reference has no persistence: fitted state is a Python-object xarray in
+memory (``/root/reference/skdownscale/pointwise_models/core.py:80-82``,
+SURVEY.md §5).  Here fitted state is a pytree of plain arrays, so a
+checkpoint is just that pytree (numpy-ified) plus grid metadata.  ``save`` /
+``load`` round-trip a fitted
+:class:`~skdownscale_tpu.pointwise.PointWiseDownscaler` (batched path), and
+``save_state``/``load_state`` handle bare state pytrees.
+
+Format: a single pickle of numpy arrays + metadata (our own trusted
+artifacts; the state trees are NamedTuples/dicts of ndarrays).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import numpy as np
+
+__all__ = ["save", "load", "save_state", "load_state"]
+
+_FORMAT_VERSION = 1
+
+
+def _numpyify(state):
+    return jax.tree_util.tree_map(np.asarray, state)
+
+
+def save_state(path: str, state) -> None:
+    """Save any pytree-of-arrays fitted state to ``path``."""
+    with open(path, "wb") as f:
+        pickle.dump({"version": _FORMAT_VERSION, "state": _numpyify(state)}, f)
+
+
+def load_state(path: str):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload["state"]
+
+
+def save(path: str, downscaler) -> None:
+    """Checkpoint a fitted ``PointWiseDownscaler`` (batched models only)."""
+    if downscaler._state is None:
+        raise ValueError(
+            "only batched-model downscalers are checkpointable (per-cell "
+            "fallback estimators hold arbitrary Python objects)"
+        )
+    payload = {
+        "version": _FORMAT_VERSION,
+        "model_class": type(downscaler._model).__module__
+        + "."
+        + type(downscaler._model).__qualname__,
+        "model_params": downscaler._model.get_params(),
+        "model_extra": {
+            k: v for k, v in vars(downscaler._model).items() if k.endswith("_") and np.isscalar(v)
+        },
+        "dim": downscaler._dim,
+        "px_meta": downscaler._px_meta,
+        "mask": downscaler._mask,
+        "cell_ids": downscaler._cell_ids,
+        "fit_index": downscaler._fit_index,
+        "state": _numpyify(downscaler._state),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load(path: str):
+    """Restore a fitted ``PointWiseDownscaler`` from :func:`save` output."""
+    import importlib
+
+    from ..pointwise import PointWiseDownscaler, _dataarray_type
+    from ..xlite import DataArray as _DA
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+
+    mod_name, _, cls_name = payload["model_class"].rpartition(".")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    model = cls(**payload["model_params"])
+    for k, v in payload.get("model_extra", {}).items():
+        setattr(model, k, v)
+
+    d = PointWiseDownscaler(model, dim=payload["dim"])
+    d._mask = payload["mask"]
+    d._cell_ids = payload["cell_ids"]
+    d._px_meta = payload["px_meta"]
+    d._fit_index = payload["fit_index"]
+    d._fit_T = len(payload["fit_index"])
+    d._maker = lambda data, dims, coords: _DA(data, dims, coords)
+    d._state = payload["state"]
+    d._models = None
+    del _dataarray_type
+    return d

@@ -1,0 +1,126 @@
+"""Tests for aux subsystems: metrics, checkpointing, sharding, native packer."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import skdownscale_tpu as sdt
+from skdownscale_tpu.utils import checkpoint, metrics, native
+from skdownscale_tpu.xlite import DataArray
+
+
+class TestMetrics:
+    def test_match_sklearn(self, rng):
+        from sklearn.metrics import mean_absolute_error, r2_score, root_mean_squared_error
+
+        t = rng.normal(size=200)
+        p = t + rng.normal(0, 0.3, 200)
+        npt.assert_allclose(float(metrics.rmse(t, p)), root_mean_squared_error(t, p), rtol=1e-9)
+        npt.assert_allclose(float(metrics.mae(t, p)), mean_absolute_error(t, p), rtol=1e-9)
+        npt.assert_allclose(float(metrics.r2(t, p)), r2_score(t, p), rtol=1e-9)
+        npt.assert_allclose(float(metrics.pearsonr(t, p)), np.corrcoef(t, p)[0, 1], rtol=1e-9)
+
+    def test_nan_aware_and_batched(self, rng):
+        t = rng.normal(size=(5, 100))
+        p = t + 1.0
+        t[:, :10] = np.nan
+        out = metrics.score_all(t, p)
+        assert out["rmse"].shape == (5,)
+        npt.assert_allclose(np.asarray(out["bias"]), 1.0, rtol=1e-9)
+
+
+class TestCheckpoint:
+    def test_roundtrip_grid(self, rng, tmp_path):
+        idx = pd.date_range("1990-01-01", "1999-12-01", freq="MS")
+        T = len(idx)
+        X = DataArray(
+            284 + rng.normal(0, 2, (T, 2, 3)), ("time", "y", "x"),
+            {"time": idx, "y": np.arange(2), "x": np.arange(3)},
+        )
+        y = DataArray(X.values - 1.0, X.dims, X.coords)
+        d = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+        d.fit(X, y)
+        expected = d.predict(X)
+
+        path = str(tmp_path / "ckpt.pkl")
+        checkpoint.save(path, d)
+        d2 = checkpoint.load(path)
+        got = d2.predict(X)
+        npt.assert_allclose(got.values, expected.values, rtol=1e-12, equal_nan=True)
+
+    def test_state_roundtrip(self, rng, tmp_path):
+        from skdownscale_tpu.models.quantile import qmr_fit
+
+        state = qmr_fit(jnp.asarray(rng.normal(size=100)), jnp.asarray(rng.normal(size=100)))
+        path = str(tmp_path / "state.pkl")
+        checkpoint.save_state(path, state)
+        loaded = checkpoint.load_state(path)
+        for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(loaded)):
+            npt.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fallback_not_checkpointable(self, rng, tmp_path):
+        from sklearn.linear_model import LinearRegression
+
+        idx = pd.date_range("1990-01-01", periods=24, freq="MS")
+        X = DataArray(rng.normal(size=(24, 2)), ("time", "p"), {"time": idx, "p": np.arange(2)})
+        y = DataArray(rng.normal(size=(24, 2)), ("time", "p"), {"time": idx, "p": np.arange(2)})
+        d = sdt.PointWiseDownscaler(LinearRegression()).fit(X, y)
+        with pytest.raises(ValueError, match="checkpointable"):
+            checkpoint.save(str(tmp_path / "x.pkl"), d)
+
+
+class TestSharding:
+    def test_mesh_matches_single_device(self, rng):
+        """8-virtual-device cell-sharded run == single-device run (the
+        reference's dask-vs-eager parametrization, test_pointwise_runner)."""
+        from skdownscale_tpu.models.bcsd import BcsdTemperature, bcsd_fit, bcsd_predict
+        from skdownscale_tpu.parallel import cell_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        idx = pd.date_range("1990-01-01", "1999-12-01", freq="MS")
+        C, T = 16, len(idx)
+        x = jnp.asarray(284 + rng.normal(0, 2, (C, T)))
+        y = jnp.asarray(283 + rng.normal(0, 1.8, (C, T)))
+        model = BcsdTemperature(return_anoms=False)
+        fg = model._fit_groups(idx)
+        plan = model._predict_plan(fg, idx)
+
+        def step(xx, yy):
+            st = bcsd_fit(xx, yy, fg, with_x_climo=True)
+            return bcsd_predict(st, xx, plan, variable="temperature", return_anoms=False)
+
+        single = jax.jit(step)(x, y)
+
+        mesh = cell_mesh(jax.devices()[:8])
+        sh = NamedSharding(mesh, P("cells", None))
+        xs, ys = jax.device_put(x, sh), jax.device_put(y, sh)
+        sharded = jax.jit(step, in_shardings=(sh, sh), out_shardings=sh)(xs, ys)
+        npt.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-12)
+
+    def test_shard_cells_pads(self, rng):
+        from skdownscale_tpu.parallel import cell_mesh, shard_cells
+
+        mesh = cell_mesh(jax.devices()[:8])
+        arr = rng.normal(size=(13, 5))
+        sharded, n = shard_cells(arr, mesh)
+        assert n == 13 and sharded.shape[0] == 16
+        assert np.isnan(np.asarray(sharded)[13:]).all()
+
+
+class TestNative:
+    def test_pack_unpack_roundtrip(self, rng):
+        T, F, C = 37, 2, 101
+        src = rng.normal(size=(T, F, C)).astype(np.float32)
+        src[0, 0, ::3] = np.nan
+        mask = native.valid_mask(src[0, 0])
+        npt.assert_array_equal(mask, np.isfinite(src[0, 0]))
+        ids = np.nonzero(mask)[0].astype(np.int32)
+        packed = native.pack_compact(src, ids)
+        npt.assert_array_equal(packed, np.moveaxis(src, 2, 0)[ids])
+        un = native.unpack_scatter(packed, ids, C)
+        npt.assert_array_equal(un[:, :, ids], np.moveaxis(packed, 0, 2))
+        assert np.isnan(un[:, :, ~mask]).all()
