@@ -116,24 +116,22 @@ _REGISTRY[_t.LinearTrendTransformer] = _Impl(
 
 def _qm_fit(model, index_fit, X, y):
     p = model._qt_params()
-    fn = lambda x: _q.qm_fit(x, detrend=bool(model.detrend), alpha=p["alpha"], beta=p["beta"])
-    return jax.vmap(fn)(_single(X))
+    return _q.qm_fit(_single(X), detrend=bool(model.detrend), alpha=p["alpha"], beta=p["beta"])
 
 
 def _qm_transform(model, state, index_fit, X, index, direction):
     if direction != "transform":
         raise NotImplementedError("QuantileMapper has no inverse_transform in the reference")
     p = model._qt_params()
-    fn = lambda s, x: _q.qm_transform(
-        s,
-        x,
+    return _q.qm_transform(
+        state,
+        _single(X),
         detrend=bool(model.detrend),
         alpha=p["alpha"],
         beta=p["beta"],
         extrapolate=p["extrapolate"],
         n_endpoints=p["n_endpoints"],
     )
-    return jax.vmap(fn)(state, _single(X))
 
 
 _REGISTRY[_q.QuantileMapper] = _Impl(_qm_fit, None, _qm_transform, None)
@@ -145,32 +143,27 @@ _REGISTRY[_q.QuantileMapper] = _Impl(_qm_fit, None, _qm_transform, None)
 
 
 def _qmr_fit(model, index_fit, X, y):
-    fn = lambda x, yy: _q.qmr_fit(
-        x, yy, extrapolate=model.extrapolate, n_endpoints=model.n_endpoints
-    )
-    return jax.vmap(fn)(_single(X), y)
+    return _q.qmr_fit(_single(X), y, extrapolate=model.extrapolate, n_endpoints=model.n_endpoints)
 
 
 def _qmr_predict(model, state, index_fit, X, index):
-    fn = lambda s, x: _q.qmr_predict(
-        s, x, extrapolate=model.extrapolate, n_endpoints=model.n_endpoints
+    return _q.qmr_predict(
+        state, _single(X), extrapolate=model.extrapolate, n_endpoints=model.n_endpoints
     )
-    return jax.vmap(fn)(state, _single(X))
 
 
 _REGISTRY[_q.QuantileMappingReressor] = _Impl(_qmr_fit, _qmr_predict, None, None)
 
 
 def _edcdfm_predict(model, state, index_fit, X, index):
-    fn = lambda s, x: _q.edcdfm_predict(
-        s,
-        x,
+    return _q.edcdfm_predict(
+        state,
+        _single(X),
         kind=model.kind,
         extrapolate=model.extrapolate,
         n_endpoints=model.n_endpoints,
         max_ratio=model.max_ratio,
     )
-    return jax.vmap(fn)(state, _single(X))
 
 
 _REGISTRY[_q.EquidistantCdfMatcher] = _Impl(_qmr_fit, _edcdfm_predict, None, None)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cdf import SYNTHETIC_MAX, SYNTHETIC_MIN, Cdf, calc_extrapolated_cdf, plotting_positions
-from ..ops.interp import interp_ramp
+from ..ops.interp import interp_rows
 from ..ops.regression import ols_1d
 from .base import SingleCellEstimator, SingleCellTransformer, asarray_2d
 from .trend import LinearTrendTransformer, TrendState, trend_fit, trend_line
@@ -67,24 +67,26 @@ def _check_extrapolate(extrapolate):
 
 
 # ======================================================================
-# functional cores (single series, vmappable)
+# functional cores (batch-native: arrays are (..., n), leading dims = cells)
 # ======================================================================
 
 
 def cunnane_fit(x, alpha: float = 0.4, beta: float = 0.4) -> Cdf:
-    """``CunnaneTransformer.fit`` (``quantile.py:462``): pp + sorted values."""
-    n = x.shape[0]
-    return Cdf(plotting_positions(n, alpha, beta, dtype=x.dtype), jnp.sort(x))
+    """``CunnaneTransformer.fit`` (``quantile.py:462``): pp + sorted values.
+    ``x``: (..., n)."""
+    n = x.shape[-1]
+    pp = jnp.broadcast_to(plotting_positions(n, alpha, beta, dtype=x.dtype), x.shape)
+    return Cdf(pp, jnp.sort(x, axis=-1))
 
 
 def _tail_ols_fill(res, query, table_x, table_y, n_endpoints: int):
     """Replace ±inf entries of ``res`` with OLS tail extrapolations fit on the
     first/last ``n_endpoints`` knots of (table_x -> table_y), evaluated at
     ``query`` (``quantile.py:490-503`` / ``532-545``)."""
-    lo_s, lo_i = ols_1d(table_x[:n_endpoints], table_y[:n_endpoints])
-    hi_s, hi_i = ols_1d(table_x[-n_endpoints:], table_y[-n_endpoints:])
-    res = jnp.where(jnp.isneginf(res), lo_i + lo_s * query, res)
-    res = jnp.where(jnp.isposinf(res), hi_i + hi_s * query, res)
+    lo_s, lo_i = ols_1d(table_x[..., :n_endpoints], table_y[..., :n_endpoints])
+    hi_s, hi_i = ols_1d(table_x[..., -n_endpoints:], table_y[..., -n_endpoints:])
+    res = jnp.where(jnp.isneginf(res), lo_i[..., None] + lo_s[..., None] * query, res)
+    res = jnp.where(jnp.isposinf(res), hi_i[..., None] + hi_s[..., None] * query, res)
     return res
 
 
@@ -92,11 +94,11 @@ def cunnane_transform(cdf: Cdf, x, extrapolate="both", n_endpoints: int = 10):
     """values -> plotting positions (``quantile.py:465-503``)."""
     left = -jnp.inf if extrapolate in ("min", "both") else None
     right = jnp.inf if extrapolate in ("max", "both") else None
-    pps = interp_ramp(x, cdf.vals, cdf.pp)
+    pps = interp_rows(cdf.vals, cdf.pp, x)
     if left is not None:
-        pps = jnp.where(x < cdf.vals[0], left, pps)
+        pps = jnp.where(x < cdf.vals[..., 0:1], left, pps)
     if right is not None:
-        pps = jnp.where(x > cdf.vals[-1], right, pps)
+        pps = jnp.where(x > cdf.vals[..., -1:], right, pps)
     if left is not None or right is not None:
         pps = _tail_ols_fill(pps, x, cdf.vals, cdf.pp, n_endpoints)
     return pps
@@ -106,11 +108,11 @@ def cunnane_inverse(cdf: Cdf, q, extrapolate="both", n_endpoints: int = 10):
     """plotting positions -> values (``quantile.py:523-545``)."""
     left = -jnp.inf if extrapolate in ("min", "both") else None
     right = jnp.inf if extrapolate in ("max", "both") else None
-    vals = interp_ramp(q, cdf.pp, cdf.vals)
+    vals = interp_rows(cdf.pp, cdf.vals, q)
     if left is not None:
-        vals = jnp.where(q < cdf.pp[0], left, vals)
+        vals = jnp.where(q < cdf.pp[..., 0:1], left, vals)
     if right is not None:
-        vals = jnp.where(q > cdf.pp[-1], right, vals)
+        vals = jnp.where(q > cdf.pp[..., -1:], right, vals)
     if left is not None or right is not None:
         vals = _tail_ols_fill(vals, q, cdf.pp, cdf.vals, n_endpoints)
     return vals
@@ -119,20 +121,21 @@ def cunnane_inverse(cdf: Cdf, q, extrapolate="both", n_endpoints: int = 10):
 class QmState(NamedTuple):
     """Fitted state of :class:`QuantileMapper` as arrays (checkpointable)."""
 
-    cdf_pp: jnp.ndarray  # (n_fit,)
-    cdf_vals: jnp.ndarray  # (n_fit,)
-    trend_slope: jnp.ndarray  # () — zeros when detrend=False
-    trend_intercept: jnp.ndarray  # ()
+    cdf_pp: jnp.ndarray  # (..., n_fit)
+    cdf_vals: jnp.ndarray  # (..., n_fit)
+    trend_slope: jnp.ndarray  # (...,) — zeros when detrend=False
+    trend_intercept: jnp.ndarray  # (...,)
 
 
 @functools.partial(jax.jit, static_argnames=("detrend", "alpha", "beta"))
 def qm_fit(x, *, detrend: bool = False, alpha: float = 0.4, beta: float = 0.4) -> QmState:
-    """``QuantileMapper.fit`` (``quantile.py:81-107``) on one (n,) series."""
+    """``QuantileMapper.fit`` (``quantile.py:81-107``) on (..., n) series."""
+    lead = x.shape[:-1]
     if detrend:
         tr = trend_fit(x)
-        x_to_cdf = x - trend_line(tr, x.shape[0], x.dtype)
+        x_to_cdf = x - trend_line(tr, x.shape[-1], x.dtype)
     else:
-        tr = TrendState(jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
+        tr = TrendState(jnp.zeros(lead, x.dtype), jnp.zeros(lead, x.dtype))
         x_to_cdf = x
     cdf = cunnane_fit(x_to_cdf, alpha, beta)
     return QmState(cdf.pp, cdf.vals, tr.slope, tr.intercept)
@@ -156,7 +159,7 @@ def qm_transform(
     with optional detrend/retrend and intercept-bias reset."""
     if detrend:
         tr_new = trend_fit(x)
-        x_to_cdf = x - trend_line(tr_new, x.shape[0], x.dtype)
+        x_to_cdf = x - trend_line(tr_new, x.shape[-1], x.dtype)
     else:
         x_to_cdf = x
     fresh = cunnane_fit(x_to_cdf, alpha, beta)
@@ -164,18 +167,18 @@ def qm_transform(
     fit_cdf = Cdf(state.cdf_pp, state.cdf_vals)
     x_qmapped = cunnane_inverse(fit_cdf, x_quantiles, extrapolate, n_endpoints)
     if detrend:
-        x_qmapped = x_qmapped + trend_line(tr_new, x.shape[0], x.dtype)
+        x_qmapped = x_qmapped + trend_line(tr_new, x.shape[-1], x.dtype)
         # reset the baseline (quantile.py:145)
-        x_qmapped = x_qmapped - (tr_new.intercept - state.trend_intercept)
+        x_qmapped = x_qmapped - (tr_new.intercept[..., None] - state.trend_intercept[..., None])
     return x_qmapped
 
 
 class QmrState(NamedTuple):
     """Fitted state of :class:`QuantileMappingReressor`: two extrapolated CDFs."""
 
-    x_pp: jnp.ndarray  # (nx+2,)
+    x_pp: jnp.ndarray  # (..., nx+2)
     x_vals: jnp.ndarray
-    y_pp: jnp.ndarray  # (ny+2,)
+    y_pp: jnp.ndarray  # (..., ny+2)
     y_vals: jnp.ndarray
 
 
@@ -187,84 +190,98 @@ def qmr_fit(x, y, *, extrapolate=None, n_endpoints: int = 10) -> QmrState:
     return QmrState(xc.pp, xc.vals, yc.pp, yc.vals)
 
 
+def _take_window(a, start, ne: int):
+    """a[..., start : start+ne] with traced per-row start (clip semantics)."""
+    idx = start[..., None] + jnp.arange(ne)
+    idx = jnp.clip(idx, 0, a.shape[-1] - 1)
+    return jnp.take_along_axis(a, idx, axis=-1)
+
+
 def _reextrapolate_pp(pp, vals, n_endpoints: int):
     """The reference's out-of-range pp handling (``quantile.py:253-264``).
 
-    ``pp`` is non-decreasing with a possible ``-inf`` prefix and ``+inf``
-    suffix.  For each tail, an OLS model is fit on the ``n_endpoints`` knots
-    adjacent to the run — in the (pp -> vals) direction — and then *evaluated
-    on vals* (the reference's inverted usage, replicated for parity)."""
-    m = pp.shape[0]
+    ``pp`` is non-decreasing along the last axis with a possible ``-inf``
+    prefix and ``+inf`` suffix.  For each tail, an OLS model is fit on the
+    ``n_endpoints`` knots adjacent to the run — in the (pp -> vals)
+    direction — and then *evaluated on vals* (the reference's inverted
+    usage, replicated for parity)."""
+    m = pp.shape[-1]
     neg = jnp.isneginf(pp)
     pos = jnp.isposinf(pp)
-    c_lo = jnp.sum(neg).astype(jnp.int32)
-    c_hi = jnp.sum(pos).astype(jnp.int32)
+    c_lo = jnp.sum(neg, axis=-1).astype(jnp.int32)
+    c_hi = jnp.sum(pos, axis=-1).astype(jnp.int32)
 
     ne = min(n_endpoints, m)
-    pp_lo = jax.lax.dynamic_slice(pp, (c_lo,), (ne,))
-    vals_lo = jax.lax.dynamic_slice(vals, (c_lo,), (ne,))
-    s_lo, i_lo = ols_1d(pp_lo, vals_lo)
-    pred_lo = i_lo + s_lo * vals
+    s_lo, i_lo = ols_1d(_take_window(pp, c_lo, ne), _take_window(vals, c_lo, ne))
+    pred_lo = i_lo[..., None] + s_lo[..., None] * vals
 
     start_hi = m - c_hi - ne
-    pp_hi = jax.lax.dynamic_slice(pp, (start_hi,), (ne,))
-    vals_hi = jax.lax.dynamic_slice(vals, (start_hi,), (ne,))
-    s_hi, i_hi = ols_1d(pp_hi, vals_hi)
-    pred_hi = i_hi + s_hi * vals
+    s_hi, i_hi = ols_1d(_take_window(pp, start_hi, ne), _take_window(vals, start_hi, ne))
+    pred_hi = i_hi[..., None] + s_hi[..., None] * vals
 
     pp = jnp.where(neg, pred_lo, pp)
     pp = jnp.where(pos, pred_hi, pp)
     return pp
 
 
+def _interp_scalar(xp, fp, q):
+    """Per-row scalar interp: q (...,) against (..., L) tables."""
+    return interp_rows(xp, fp, q[..., None])[..., 0]
+
+
 def _extrapolate_1to1(state: QmrState, x, y_hat):
     """``QuantileMappingReressor._extrapolate_1to1`` (``quantile.py:277-310``),
     including the asymmetric under-min ``X_fit_len > y_fit_len`` branch as
     written at ``quantile.py:305``."""
-    X_fit_len = state.x_vals.shape[0]
-    y_fit_len = state.y_vals.shape[0]
-    X_fit_min, X_fit_max = state.x_vals[0], state.x_vals[-1]
-    y_fit_min, y_fit_max = state.y_vals[0], state.y_vals[-1]
+    X_fit_len = state.x_vals.shape[-1]
+    y_fit_len = state.y_vals.shape[-1]
+    X_fit_min, X_fit_max = state.x_vals[..., 0:1], state.x_vals[..., -1:]
+    y_fit_min, y_fit_max = state.y_vals[..., 0:1], state.y_vals[..., -1:]
 
     if X_fit_len == y_fit_len:
         hi = y_fit_max + (x - X_fit_max)
     elif X_fit_len > y_fit_len:
-        X_fit_at_y_fit_max = interp_ramp(state.y_pp[-1], state.x_pp, state.x_vals)
-        hi = y_fit_max + (x - X_fit_at_y_fit_max)
+        X_fit_at_y_fit_max = _interp_scalar(state.x_pp, state.x_vals, state.y_pp[..., -1])
+        hi = y_fit_max + (x - X_fit_at_y_fit_max[..., None])
     else:
-        y_fit_at_X_fit_max = interp_ramp(state.x_pp[-1], state.y_pp, state.y_vals)
-        hi = y_fit_at_X_fit_max + (x - X_fit_max)
+        y_fit_at_X_fit_max = _interp_scalar(state.y_pp, state.y_vals, state.x_pp[..., -1])
+        hi = y_fit_at_X_fit_max[..., None] + (x - X_fit_max)
     y_hat = jnp.where(x > X_fit_max, hi, y_hat)
 
     if X_fit_len == y_fit_len:
         lo = y_fit_min + (x - X_fit_min)
     elif X_fit_len > y_fit_len:
-        X_fit_at_y_fit_min = interp_ramp(state.y_pp[0], state.x_pp, state.x_vals)
-        lo = X_fit_min + (x - X_fit_at_y_fit_min)
+        X_fit_at_y_fit_min = _interp_scalar(state.x_pp, state.x_vals, state.y_pp[..., 0])
+        lo = X_fit_min + (x - X_fit_at_y_fit_min[..., None])
     else:
-        y_fit_at_X_fit_min = interp_ramp(state.x_pp[0], state.y_pp, state.y_vals)
-        lo = y_fit_at_X_fit_min + (x - X_fit_min)
+        y_fit_at_X_fit_min = _interp_scalar(state.y_pp, state.y_vals, state.x_pp[..., 0])
+        lo = y_fit_at_X_fit_min[..., None] + (x - X_fit_min)
     y_hat = jnp.where(x < X_fit_min, lo, y_hat)
     return y_hat
+
+
+def _unsort(sorted_vals, sort_inds):
+    inv = jnp.argsort(sort_inds, axis=-1)
+    return jnp.take_along_axis(sorted_vals, inv, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("extrapolate", "n_endpoints"))
 def qmr_predict(state: QmrState, x, *, extrapolate=None, n_endpoints: int = 10):
     """``QuantileMappingReressor.predict`` (``quantile.py:221-275``)."""
-    sort_inds = jnp.argsort(x)
-    xs = x[sort_inds]
+    sort_inds = jnp.argsort(x, axis=-1)
+    xs = jnp.take_along_axis(x, sort_inds, axis=-1)
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
 
-    pp = interp_ramp(tc.vals, state.x_vals, state.x_pp)
+    pp = interp_rows(state.x_vals, state.x_pp, tc.vals)
     if extrapolate in ("min", "both"):
-        pp = jnp.where(tc.vals < state.x_vals[0], -jnp.inf, pp)
+        pp = jnp.where(tc.vals < state.x_vals[..., 0:1], -jnp.inf, pp)
     if extrapolate in ("max", "both"):
-        pp = jnp.where(tc.vals > state.x_vals[-1], jnp.inf, pp)
+        pp = jnp.where(tc.vals > state.x_vals[..., -1:], jnp.inf, pp)
     if extrapolate in ("min", "max", "both"):
         pp = _reextrapolate_pp(pp, tc.vals, n_endpoints)
 
-    yhat_sorted = interp_ramp(pp, state.y_pp, state.y_vals)
-    y_hat = jnp.zeros_like(x).at[sort_inds].set(yhat_sorted[1:-1])
+    yhat_sorted = interp_rows(state.y_pp, state.y_vals, pp)
+    y_hat = _unsort(yhat_sorted[..., 1:-1], sort_inds)
     if extrapolate == "1to1":
         y_hat = _extrapolate_1to1(state, x, y_hat)
     return y_hat
@@ -282,11 +299,11 @@ def edcdfm_predict(
 ):
     """``EquidistantCdfMatcher.predict`` (``quantile.py:594-636``): preserve
     the per-quantile difference (or ratio) between test X and train X."""
-    sort_inds = jnp.argsort(x)
-    xs = x[sort_inds]
+    sort_inds = jnp.argsort(x, axis=-1)
+    xs = jnp.take_along_axis(x, sort_inds, axis=-1)
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
-    X_train_vals = interp_ramp(tc.pp, state.x_pp, state.x_vals)
-    y_train_vals = interp_ramp(tc.pp, state.y_pp, state.y_vals)
+    X_train_vals = interp_rows(state.x_pp, state.x_vals, tc.pp)
+    y_train_vals = interp_rows(state.y_pp, state.y_vals, tc.pp)
     if kind == "difference":
         sorted_y_hat = y_train_vals + (tc.vals - X_train_vals)
     else:  # 'ratio'
@@ -294,7 +311,7 @@ def edcdfm_predict(
         if max_ratio is not None:
             ratio = jnp.minimum(ratio, max_ratio)  # intent of quantile.py:624
         sorted_y_hat = y_train_vals * ratio
-    y_hat = jnp.zeros_like(x).at[sort_inds].set(sorted_y_hat[1:-1])
+    y_hat = _unsort(sorted_y_hat[..., 1:-1], sort_inds)
     if extrapolate == "1to1":
         y_hat = _extrapolate_1to1(state, x, y_hat)
     return y_hat
