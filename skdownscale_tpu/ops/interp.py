@@ -31,28 +31,104 @@ def _use_pallas() -> bool:
         return False
 
 
+def _pallas_feasible(L: int, Q: int, itemsize: int) -> bool:
+    # mirror of interp_kernel._choose_tb: the lane block cannot shrink
+    # below 128, so per-lane VMEM must fit at the 128-lane floor
+    per_lane = (L + min(Q, 128) * 3 + 6 * L) * itemsize
+    return per_lane * 128 <= 8 * 1024 * 1024
+
+
 def interp_rows(xp, fp, q):
     """Row-matched batched interp: ``out[..., b, i] = interp(q[..., b, i],
     xp[..., b, :], fp[..., b, :])`` over arbitrary leading dims.
 
-    Dispatches to the fused Pallas kernel on TPU (the XLA lowering of the
-    batched bracketing materializes huge HBM intermediates); falls back to
-    the dense XLA formulation elsewhere.  Tables must be monotone rows,
-    ragged rows padded per :func:`pad_table`.
+    Strategy by table size (tables must be monotone rows, ragged rows padded
+    per :func:`pad_table`):
+
+    * TPU, small tables — the fused Pallas kernel (dense bracketing in VMEM);
+    * TPU, large tables — :func:`interp_sortmerge` (gather-free sort-merge:
+      O((L+Q) log) with TPU-native sorts, where both the dense O(L*Q)
+      bracketing and XLA's binary-search lowering are orders of magnitude
+      off);
+    * CPU — dense formulation for small tables, ``jnp.interp`` otherwise.
     """
     lead = xp.shape[:-1]
     L = xp.shape[-1]
     Q = q.shape[-1]
     if q.shape[:-1] != lead:
         q = jnp.broadcast_to(q, (*lead, Q))
+    xp2, fp2, q2 = xp.reshape(-1, L), fp.reshape(-1, L), q.reshape(-1, Q)
     if _use_pallas():
-        from .pallas.interp_kernel import batched_interp
+        if _pallas_feasible(L, Q, q.dtype.itemsize):
+            from .pallas.interp_kernel import batched_interp
 
-        out = batched_interp(xp.reshape(-1, L), fp.reshape(-1, L), q.reshape(-1, Q))
+            out = batched_interp(xp2, fp2, q2)
+        else:
+            out = interp_sortmerge(xp2, fp2, q2)
     else:
-        flat = jax.vmap(lambda qq, xx, ff: interp_ramp(qq, xx, ff))
-        out = flat(q.reshape(-1, Q), xp.reshape(-1, L), fp.reshape(-1, L))
+        if L <= 1024:
+            out = jax.vmap(lambda qq, xx, ff: interp_ramp(qq, xx, ff))(q2, xp2, fp2)
+        else:
+            out = interp_sortmerge(xp2, fp2, q2)
     return out.reshape(*lead, Q)
+
+
+def interp_sortmerge(xp, fp, q):
+    """Gather-free batched interp via sort-merge (any query order, any L).
+
+    Concatenates knots and queries per row, sorts once with payloads
+    (``lax.sort`` is a TPU-native sorting network — no data-dependent
+    gathers), recovers each query's bracketing knots with prefix-max /
+    suffix-min scans (valid because ``xp`` AND ``fp`` are monotone), and
+    restores original query order with a second payload sort.  Semantics
+    match :func:`interp_ramp` (np.interp + near-anchor + last-tie: the
+    stable sort places tied knots before tied queries, reproducing
+    ``side='right'`` bracketing).
+    """
+    B, L = xp.shape
+    Q = q.shape[-1]
+    dtype = q.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+
+    keys = jnp.concatenate([xp, q], axis=-1)  # (B, L+Q)
+    isq = jnp.concatenate(
+        [jnp.zeros((B, L), jnp.int32), jnp.ones((B, Q), jnp.int32)], axis=-1
+    )
+    fv = jnp.concatenate([fp, jnp.zeros((B, Q), dtype)], axis=-1)
+    pos = jnp.concatenate(
+        [jnp.full((B, L), Q, jnp.int32), jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (B, Q))],
+        axis=-1,
+    )
+    key_s, isq_s, fv_s, pos_s = jax.lax.sort(
+        (keys, isq, fv, pos), num_keys=1, is_stable=True, dimension=1
+    )
+
+    knot = isq_s == 0
+    x0 = jax.lax.cummax(jnp.where(knot, key_s, -inf), axis=1)
+    f0 = jax.lax.cummax(jnp.where(knot, fv_s, -inf), axis=1)
+    x1 = jax.lax.cummin(jnp.where(knot, key_s, inf), axis=1, reverse=True)
+    f1 = jax.lax.cummin(jnp.where(knot, fv_s, inf), axis=1, reverse=True)
+
+    # restore original query order: queries sort to the front by pos
+    # (knots carry pos=Q and land behind every query)
+    order_key = pos_s * 2 + isq_s * 0 + (1 - isq_s)  # knots (pos=Q) after queries
+    _, qv, x0, f0, x1, f1 = jax.lax.sort(
+        (order_key, key_s, x0, f0, x1, f1), num_keys=1, is_stable=True, dimension=1
+    )
+    qv, x0, f0, x1, f1 = (a[:, :Q] for a in (qv, x0, f0, x1, f1))
+
+    x0c = jnp.clip(x0, -big, big)
+    x1c = jnp.clip(x1, -big, big)
+    f1c = jnp.minimum(f1, big)
+    dx = x1c - x0c
+    slope = (f1c - f0) / jnp.where(dx != 0, dx, 1.0)
+    slope = jnp.where(dx != 0, slope, 0.0)
+    use_right = (qv - x0c) > (x1c - qv)
+    res = jnp.where(use_right, f1c + (qv - x1c) * slope, f0 + (qv - x0c) * slope)
+    res = jnp.where(qv < xp[:, :1], fp[:, :1], res)
+    res = jnp.where(qv > xp[:, -1:], fp[:, -1:], res)
+    return res
 
 
 def interp_ramp(x, xp, fp):

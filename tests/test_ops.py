@@ -7,7 +7,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from skdownscale_tpu.ops.interp import interp_padded, interp_ramp, pad_table
+from skdownscale_tpu.ops.interp import interp_padded, interp_ramp, interp_sortmerge, pad_table
 from skdownscale_tpu.ops.regression import linreg_fit, logistic_fit, logistic_predict_proba, ols_1d
 from skdownscale_tpu.ops.rolling import rolling_mean, rolling_std
 
@@ -66,6 +66,39 @@ class TestInterpRamp:
             interp_padded(jnp.asarray(q), jnp.asarray(xp), jnp.asarray(fp), 3, right=np.inf)
         )
         assert np.isinf(out2[-1]) and np.isinf(out2[-2])
+
+
+class TestInterpSortmerge:
+    """The large-table strategy must agree with np.interp / the dense path."""
+
+    def test_matches_np_interp(self, rng):
+        B, L, Q = 20, 300, 150
+        xp = np.sort(rng.normal(0, 3, (B, L)), axis=1)
+        fp = np.cumsum(rng.uniform(0, 1, (B, L)), axis=1)
+        q = rng.normal(0, 5, (B, Q))  # unsorted, includes out-of-range
+        out = np.asarray(interp_sortmerge(jnp.asarray(xp), jnp.asarray(fp), jnp.asarray(q)))
+        for i in range(B):
+            npt.assert_allclose(out[i], np.interp(q[i], xp[i], fp[i]), rtol=1e-10, atol=1e-12)
+
+    def test_ties_and_padding(self, rng):
+        xp = np.sort(np.round(rng.normal(0, 2, (8, 50)), 0), axis=1)
+        fp = np.cumsum(rng.uniform(0, 1, (8, 50)), axis=1)
+        q = np.round(rng.normal(0, 2, (8, 30)), 0)
+        out = np.asarray(interp_sortmerge(jnp.asarray(xp), jnp.asarray(fp), jnp.asarray(q)))
+        for i in range(8):
+            npt.assert_allclose(out[i], np.interp(q[i], xp[i], fp[i]), rtol=1e-10)
+
+        counts = np.array([[30], [45], [60]])
+        valid = np.arange(60)[None, :] < counts
+        xpr = np.sort(np.where(valid, rng.normal(0, 3, (3, 60)), np.inf), axis=1)
+        fpr = np.where(valid, np.cumsum(rng.uniform(0, 1, (3, 60)), axis=1), 0)
+        xpj, fpj = pad_table(jnp.asarray(xpr), jnp.asarray(fpr), jnp.asarray(valid))
+        qr = rng.normal(0, 5, (3, 20))
+        out = np.asarray(interp_sortmerge(xpj, fpj, jnp.asarray(qr)))
+        for i, n in enumerate(counts[:, 0]):
+            npt.assert_allclose(
+                out[i], np.interp(qr[i], xpr[i, :n], np.asarray(fpj)[i, :n]), rtol=1e-10
+            )
 
 
 class TestRegression:
