@@ -80,14 +80,20 @@ class PointWiseDownscaler:
     sharding : jax.sharding.Mesh or jax.sharding.NamedSharding, optional
         Shard the cell axis over a device mesh.  A ``Mesh`` uses its first
         axis name; fitted state inherits the sharding.
+    cell_chunk_size : int, optional
+        Process (and hold state for) at most this many valid cells per
+        device pass.  Bounds HBM for workloads whose per-cell working set is
+        large (GARD analog gathers; continental daily grids): the reference
+        gets the same effect from dask chunking (``core.py:262``).
     """
 
-    def __init__(self, model, dim: str = "time", sharding=None):
+    def __init__(self, model, dim: str = "time", sharding=None, cell_chunk_size=None):
         self._dim = dim
         self._model = model
         self._models = None  # per-cell object array (fallback path)
-        self._state = None  # batched state pytree
+        self._state = None  # batched state pytree (or list of per-chunk states)
         self.sharding = sharding
+        self.cell_chunk_size = cell_chunk_size
 
         if not hasattr(model, "fit"):
             raise TypeError(
@@ -175,18 +181,27 @@ class PointWiseDownscaler:
                 raise ValueError("y must have a single variable")
 
         if _b.supports_batched(self._model):
-            Xv = self._compact(px, self._cell_ids)
-            yv = self._compact(py, self._cell_ids)[:, :, 0] if py is not None else None
-            self._state = _b.batched_fit(
-                self._model,
-                self._fit_index,
-                self._device(Xv),
-                self._device(yv) if yv is not None else None,
-            )
+            self._state = [
+                _b.batched_fit(
+                    self._model,
+                    self._fit_index,
+                    self._device(self._compact(px, ids)),
+                    self._device(self._compact(py, ids)[:, :, 0]) if py is not None else None,
+                )
+                for ids in self._chunked_ids()
+            ]
             self._models = None
         else:
             self._fit_fallback(px, py, mask)
         return self
+
+    def _chunked_ids(self):
+        """Valid-cell id chunks (one chunk when cell_chunk_size is unset)."""
+        ids = self._cell_ids
+        cs = self.cell_chunk_size
+        if not cs or len(ids) <= cs:
+            return [ids]
+        return [ids[i : i + cs] for i in range(0, len(ids), cs)]
 
     def _cell_df(self, px, c, index):
         import pandas as pd
@@ -237,14 +252,20 @@ class PointWiseDownscaler:
         mask = self._mask
 
         if self._state is not None:
-            out_v = np.asarray(
-                _b.batched_predict(
-                    self._model,
-                    self._state,
-                    self._fit_index,
-                    self._device(self._compact(px, self._cell_ids)),
-                    px["index"],
-                )
+            out_v = np.concatenate(
+                [
+                    np.asarray(
+                        _b.batched_predict(
+                            self._model,
+                            st,
+                            self._fit_index,
+                            self._device(self._compact(px, ids)),
+                            px["index"],
+                        )
+                    )
+                    for ids, st in zip(self._chunked_ids(), self._state)
+                ],
+                axis=0,
             )
         else:
             out_v = self._predict_fallback(px, n_outputs)
@@ -288,15 +309,21 @@ class PointWiseDownscaler:
         T, C = px["flat"].shape[0], px["n_cells"]
 
         if self._state is not None:
-            out_v = np.asarray(
-                _b.batched_transform(
-                    self._model,
-                    self._state,
-                    self._fit_index,
-                    self._device(self._compact(px, self._cell_ids)),
-                    px["index"],
-                    direction,
-                )
+            out_v = np.concatenate(
+                [
+                    np.asarray(
+                        _b.batched_transform(
+                            self._model,
+                            st,
+                            self._fit_index,
+                            self._device(self._compact(px, ids)),
+                            px["index"],
+                            direction,
+                        )
+                    )
+                    for ids, st in zip(self._chunked_ids(), self._state)
+                ],
+                axis=0,
             )
         else:
             rows = []
@@ -324,14 +351,14 @@ class PointWiseDownscaler:
         mask = self._mask
 
         if self._state is not None:
-            attrs = _b.batched_attrs(self._model, self._state)
-            if key not in attrs:
+            chunks = [_b.batched_attrs(self._model, st) for st in self._state]
+            if key not in chunks[0]:
                 raise AttributeError(
                     f"attribute {key!r} is not exposed by the batched "
                     f"implementation of {type(self._model).__name__}; "
-                    f"available: {sorted(attrs)}"
+                    f"available: {sorted(chunks[0])}"
                 )
-            vals = np.asarray(attrs[key])  # (Cv, ...)
+            vals = np.concatenate([np.asarray(c[key]) for c in chunks], axis=0)  # (Cv, ...)
             extra_shape = vals.shape[1:]
         else:
             cells = [getattr(self._models[c], key) for c in np.nonzero(mask)[0]]

@@ -161,3 +161,20 @@ def test_repr(grid_data):
 def test_model_without_fit_raises():
     with pytest.raises(TypeError, match="fit"):
         sdt.PointWiseDownscaler(object())
+
+
+def test_cell_chunked_matches_unchunked(grid_data):
+    X, y, idx = grid_data
+    base = sdt.PointWiseDownscaler(sdt.QuantileMappingReressor(extrapolate="both")).fit(X, y)
+    chunked = sdt.PointWiseDownscaler(
+        sdt.QuantileMappingReressor(extrapolate="both"), cell_chunk_size=3
+    ).fit(X, y)
+    npt.assert_allclose(
+        chunked.predict(X).values, base.predict(X).values, rtol=1e-12, equal_nan=True
+    )
+    # multi-output model through chunks
+    g1 = sdt.PointWiseDownscaler(sdt.PureAnalog(n_analogs=8, kind="mean_analogs")).fit(X, y)
+    g2 = sdt.PointWiseDownscaler(
+        sdt.PureAnalog(n_analogs=8, kind="mean_analogs"), cell_chunk_size=4
+    ).fit(X, y)
+    npt.assert_allclose(g2.predict(X).values, g1.predict(X).values, rtol=1e-12, equal_nan=True)
