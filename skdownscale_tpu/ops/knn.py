@@ -19,7 +19,18 @@ import jax.numpy as jnp
 __all__ = ["knn"]
 
 
-def knn(train, queries, k: int, *, return_distance: bool = True):
+def _knn_block(train, tn, queries, k: int):
+    # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
+    cross = queries @ train.T  # (m, n)
+    d2 = qn - 2.0 * cross + tn[None, :]
+    d2 = jnp.maximum(d2, 0.0)
+    # top_k on negative distance; ties broken toward lower index (stable)
+    neg, inds = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(-neg), inds
+
+
+def knn(train, queries, k: int, *, return_distance: bool = True, query_chunk: int = 64):
     """k nearest neighbours by Euclidean distance.
 
     Parameters
@@ -27,20 +38,27 @@ def knn(train, queries, k: int, *, return_distance: bool = True):
     train : (n, f) training points
     queries : (m, f) query points
     k : static neighbour count
+    query_chunk : process queries in chunks of this size — the (m, n)
+        distance matrix (plus top_k's index temp) otherwise dominates HBM at
+        climate scale (cells x time_steps x train_steps).  ``None`` disables
+        chunking.
 
     Returns
     -------
     (dist, inds) : ((m, k), (m, k)) — ascending by distance — or just inds
     if ``return_distance=False``.
     """
-    # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
-    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
     tn = jnp.sum(train * train, axis=-1)  # (n,)
-    cross = queries @ train.T  # (m, n)
-    d2 = qn - 2.0 * cross + tn[None, :]
-    d2 = jnp.maximum(d2, 0.0)
-    # top_k on negative distance; ties broken toward lower index (stable)
-    neg, inds = jax.lax.top_k(-d2, k)
+    m = queries.shape[0]
+    if query_chunk is None or m <= query_chunk:
+        dist, inds = _knn_block(train, tn, queries, k)
+    else:
+        pad = (-m) % query_chunk
+        qp = jnp.pad(queries, ((0, pad), (0, 0)))
+        blocks = qp.reshape(-1, query_chunk, queries.shape[1])
+        dist, inds = jax.lax.map(lambda qb: _knn_block(train, tn, qb, k), blocks)
+        dist = dist.reshape(-1, k)[:m]
+        inds = inds.reshape(-1, k)[:m]
     if not return_distance:
         return inds
-    return jnp.sqrt(-neg), inds
+    return dist, inds
