@@ -1,3 +1,11 @@
 from skdownscale_tpu.parallel.mesh import cell_mesh, cell_sharding, pad_to_multiple, shard_cells
+from skdownscale_tpu.parallel.multihost import feed_cells, host_cell_slice
 
-__all__ = ["cell_mesh", "cell_sharding", "pad_to_multiple", "shard_cells"]
+__all__ = [
+    "cell_mesh",
+    "cell_sharding",
+    "pad_to_multiple",
+    "shard_cells",
+    "feed_cells",
+    "host_cell_slice",
+]
