@@ -26,12 +26,25 @@ def _example(n_cells, n_time, seed=0, dtype=np.float32):
     return index, x, y
 
 
-def bench_tpu(n_cells=131072, n_time=480, n_iters=3):
+def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144):
     """Two-stage (fit jit + predict jit) — the framework's production shape.
+
+    Cells beyond ``cell_chunk`` stream through in chunks (XLA's layout
+    padding on the (C, groups, group_len) state tensors caps a single pass
+    near 256k cells on one 16 GB chip).
 
     Note: fusing fit+predict into one jit triggers an XLA mega-fusion that
     compiles ~20x slower and runs ~40x slower; keep the stages separate.
     """
+    if n_cells > cell_chunk:
+        total = 0.0
+        done = 0
+        while done < n_cells:
+            c = min(cell_chunk, n_cells - done)
+            cps, dt = bench_tpu(c, n_time, n_iters=1, cell_chunk=cell_chunk)
+            total += dt
+            done += c
+        return n_cells / total, total
     import jax
     import jax.numpy as jnp
 
