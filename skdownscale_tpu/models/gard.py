@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gather import take_rows
 from ..ops.knn import knn
 from ..ops.regression import (
     linreg_fit,
@@ -73,7 +74,7 @@ def pure_analog_predict(X_train, y_train, Xq, rand_inds, *, k: int, kind: str, t
     """
     m = Xq.shape[0]
     dist, inds = knn(X_train, Xq, k)
-    analogs = y_train[inds]  # (m, k)
+    analogs = take_rows(y_train[:, None], inds.reshape(-1))[..., 0].reshape(m, k)
 
     if thresh is not None:
         analog_mask = analogs > thresh
@@ -112,8 +113,12 @@ def analog_regression_predict(X_train, y_train, Xq, *, k: int, thresh=None, logi
     a local linear model on the k nearest analogs (optionally threshold-
     masked) plus a local logistic exceedance model — all steps batched."""
     inds = knn(X_train, Xq, k, return_distance=False)  # (m, k)
-    xk = X_train[inds]  # (m, k, f)
-    yk = y_train[inds]  # (m, k)
+    m, f = Xq.shape[0], X_train.shape[1]
+    # one fused row-gather for predictors + target (one-hot MXU path on TPU)
+    payload = jnp.concatenate([X_train, y_train[:, None]], axis=-1)
+    rows = take_rows(payload, inds.reshape(-1)).reshape(m, k, f + 1)
+    xk = rows[..., :f]  # (m, k, f)
+    yk = rows[..., f]  # (m, k)
 
     if thresh is not None:
         exceed = yk > thresh

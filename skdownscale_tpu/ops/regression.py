@@ -121,7 +121,39 @@ def rmse(y_true, y_pred, w=None):
 # ----------------------------------------------------------------------
 
 
-def logistic_fit(X, y, w=None, C: float = 1.0, n_iter: int = 30):
+def _solve_small(H, g):
+    """Solve H x = g for tiny static sizes via closed-form inverses (batched
+    LU on (n<=4) matrices is a TPU serialization cliff — explicit cofactor
+    math is pure VPU elementwise work)."""
+    n = H.shape[-1]
+    if n == 1:
+        return g / H[..., 0, 0:1]
+    if n == 2:
+        a, b = H[..., 0, 0], H[..., 0, 1]
+        c, d = H[..., 1, 0], H[..., 1, 1]
+        det = a * d - b * c
+        x0 = (d * g[..., 0] - b * g[..., 1]) / det
+        x1 = (a * g[..., 1] - c * g[..., 0]) / det
+        return jnp.stack([x0, x1], axis=-1)
+    if n == 3:
+        a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+        d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+        g_, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+        A = e * i - f * h
+        B = -(d * i - f * g_)
+        Cc = d * h - e * g_
+        det = a * A + b * B + c * Cc
+        inv00, inv01, inv02 = A, -(b * i - c * h), b * f - c * e
+        inv10, inv11, inv12 = B, a * i - c * g_, -(a * f - c * d)
+        inv20, inv21, inv22 = Cc, -(a * h - b * g_), a * e - b * d
+        x0 = (inv00 * g[..., 0] + inv01 * g[..., 1] + inv02 * g[..., 2]) / det
+        x1 = (inv10 * g[..., 0] + inv11 * g[..., 1] + inv12 * g[..., 2]) / det
+        x2 = (inv20 * g[..., 0] + inv21 * g[..., 1] + inv22 * g[..., 2]) / det
+        return jnp.stack([x0, x1, x2], axis=-1)
+    return jnp.linalg.solve(H, g)
+
+
+def logistic_fit(X, y, w=None, C: float = 1.0, n_iter: int = 25):
     """L2-regularized logistic regression -> (coef (k,), intercept).
 
     Minimizes sklearn's ``LogisticRegression`` objective (penalty='l2',
@@ -150,7 +182,7 @@ def logistic_fit(X, y, w=None, C: float = 1.0, n_iter: int = 30):
         H = (Xb * h_diag[:, None]).T @ Xb + jnp.diag(reg)
         # Levenberg damping keeps early steps stable when separable
         H = H + jnp.finfo(X.dtype).eps * 10 * jnp.eye(k + 1, dtype=X.dtype)
-        delta = jnp.linalg.solve(H, g)
+        delta = _solve_small(H, g)
         return beta - delta, None
 
     beta0 = jnp.zeros(k + 1, X.dtype)
