@@ -100,8 +100,47 @@ def bench_reference(n_cells=8, n_time=480):
     return n_cells / dt
 
 
+def bench_qdm(n_cells=16384, n_time=3650, n_iters=2):
+    """Secondary benchmark: daily-scale QDM (sort-merge interp path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.quantile import edcdfm_predict, qmr_fit
+
+    _, x, y = _example(n_cells, n_time)
+    xd, yd = jax.device_put(x), jax.device_put(y)
+
+    def run():
+        st = qmr_fit(xd, yd, extrapolate="both")
+        out = edcdfm_predict(st, xd, kind="difference", extrapolate="both")
+        return float(jnp.sum(out))
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return n_cells / dt, dt
+
+
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    model = sys.argv[2] if len(sys.argv) > 2 else "bcsd"
+    if model == "qdm":
+        cps, dt = bench_qdm(n_cells=n_cells)
+        print(
+            json.dumps(
+                {
+                    "metric": "qdm_fit_predict_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (10y daily QDM fit+predict)",
+                    "vs_baseline": round(cps / 50.0, 1),  # measured reference ~50 cells/s
+                }
+            )
+        )
+        return
     tpu_cells_per_sec, dt = bench_tpu(n_cells=n_cells)
     try:
         ref_cells_per_sec = bench_reference()

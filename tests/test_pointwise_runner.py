@@ -178,3 +178,55 @@ def test_cell_chunked_matches_unchunked(grid_data):
         sdt.PureAnalog(n_analogs=8, kind="mean_analogs"), cell_chunk_size=4
     ).fit(X, y)
     npt.assert_allclose(g2.predict(X).values, g1.predict(X).values, rtol=1e-12, equal_nan=True)
+
+
+def test_multivariable_dataset_gard(rng):
+    # multi-feature GARD through the grid (reference test_pointwise_runner:54-63)
+    idx = pd.date_range("1990-01-01", "1995-12-01", freq="MS")
+    T, P = len(idx), 4
+    coords = {"time": idx, "point": np.arange(P)}
+    a = DataArray(280 + rng.normal(0, 2, (T, P)), ("time", "point"), coords)
+    b = DataArray(rng.normal(0, 1, (T, P)), ("time", "point"), coords)
+    ds = Dataset({"ta": a, "u": b})
+    y = DataArray(281 + rng.normal(0, 2, (T, P)), ("time", "point"), coords)
+    d = sdt.PointWiseDownscaler(sdt.AnalogRegression(n_analogs=12))
+    d.fit(ds, y)
+    out = d.predict(ds)
+    assert out.dims == ("time", "variable", "point")
+    assert out.sizes["variable"] == 3
+    assert np.isfinite(out.values).all()
+
+
+def test_non_datetime_time_index(rng):
+    # non-pandas time coordinate (reference test_pointwise_runner:148-171)
+    T, P = 48, 3
+    X = DataArray(
+        rng.normal(10, 2, (T, P)), ("time", "point"),
+        {"time": np.arange(T), "point": np.arange(P)},
+    )
+    d = sdt.PointWiseDownscaler(sdt.LinearTrendTransformer())
+    d.fit(X)
+    out = d.transform(X)
+    assert out.values.shape[0] == T
+
+
+def test_get_attr_with_template(rng):
+    idx = pd.date_range("1998-01-01", "2001-12-31", freq="D")  # no leap-day-free years
+    T, ny, nx = len(idx), 2, 3
+    X = DataArray(
+        283 + rng.normal(0, 2, (T, ny, nx)), ("time", "y", "x"),
+        {"time": idx, "y": np.arange(ny), "x": np.arange(nx)},
+    )
+    y = DataArray(X.values - 1, X.dims, X.coords)
+    X.data[:, 0, 0] = np.nan
+    d = sdt.PointWiseDownscaler(sdt.ZScoreRegressor())
+    d.fit(X, y)
+    n_day = d._state[0].shift.shape[-1]  # D-1 day-of-year parameters
+    template = DataArray(
+        np.zeros((n_day, ny, nx)), ("day", "y", "x"),
+        {"day": np.arange(n_day), "y": np.arange(ny), "x": np.arange(nx)},
+    )
+    shift = d.get_attr("shift_", float, template_output=template)
+    assert shift.dims == ("day", "y", "x")
+    assert shift.values.shape == (n_day, ny, nx)
+    assert np.isnan(shift.values[:, 0, 0]).all()
