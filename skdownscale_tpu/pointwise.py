@@ -109,7 +109,11 @@ class PointWiseDownscaler:
         if is_dataset(X):
             X = X.to_array(feature_dim)
         if feature_dim not in X.dims:
-            X = X.expand_dims(feature_dim, [f"{feature_dim}_0"], axis=1)
+            if type(X).__module__.startswith("xarray"):
+                # xarray's expand_dims signature (reference core.py:433)
+                X = X.expand_dims(**{feature_dim: [f"{feature_dim}_0"]}, axis=1)
+            else:
+                X = X.expand_dims(feature_dim, [f"{feature_dim}_0"], axis=1)
         rest = [d for d in X.dims if d not in (self._dim, feature_dim)]
         return X.transpose(self._dim, feature_dim, *rest)
 
@@ -179,6 +183,11 @@ class PointWiseDownscaler:
             py = self._pack(self._to_feature_x(y, feature_dim), feature_dim)
             if py["flat"].shape[1] != 1:
                 raise ValueError("y must have a single variable")
+            if py["n_cells"] != px["n_cells"] or py["flat"].shape[0] != px["flat"].shape[0]:
+                raise ValueError(
+                    f"X and y grids do not align: X has {px['flat'].shape[0]} time steps x "
+                    f"{px['n_cells']} cells, y has {py['flat'].shape[0]} x {py['n_cells']}"
+                )
 
         if _b.supports_batched(self._model):
             self._state = [
