@@ -165,6 +165,21 @@ class SingleCellEstimator:
         idx = pd.date_range(start="1950", periods=n, freq=freq or self._timestep)
         return TimeIndex.from_pandas(idx)
 
+    def score(self, X, y, sample_weight=None):
+        """Coefficient of determination of the prediction (sklearn's
+        ``RegressorMixin.score`` contract, which the reference inherits)."""
+        import numpy as _np
+
+        pred = _np.asarray(self.predict(X))
+        if pred.ndim > 1 and pred.shape[1] > 1:  # GARD 3-output family
+            pred = pred[:, 0]
+        yt = asarray_2d(y)[:, 0]
+        pred = pred.reshape(-1)
+        v = _np.isfinite(yt) & _np.isfinite(pred)
+        ss_res = float(((yt[v] - pred[v]) ** 2).sum())
+        ss_tot = float(((yt[v] - yt[v].mean()) ** 2).sum())
+        return 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+
     def __sklearn_tags__(self):
         # Minimal tags object for sklearn>=1.6 interop when available.
         try:

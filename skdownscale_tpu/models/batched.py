@@ -138,6 +138,24 @@ _REGISTRY[_q.QuantileMapper] = _Impl(_qm_fit, None, _qm_transform, None)
 
 
 # ----------------------------------------------------------------------
+# CunnaneTransformer
+# ----------------------------------------------------------------------
+
+
+def _cunnane_fit(model, index_fit, X, y):
+    return _q.cunnane_fit(_single(X), model.alpha, model.beta)
+
+
+def _cunnane_transform(model, state, index_fit, X, index, direction):
+    if direction == "transform":
+        return _q.cunnane_transform(state, _single(X), model.extrapolate, model.n_endpoints)
+    return _q.cunnane_inverse(state, _single(X), model.extrapolate, model.n_endpoints)
+
+
+_REGISTRY[_q.CunnaneTransformer] = _Impl(_cunnane_fit, None, _cunnane_transform, None)
+
+
+# ----------------------------------------------------------------------
 # QuantileMappingReressor / EquidistantCdfMatcher
 # ----------------------------------------------------------------------
 

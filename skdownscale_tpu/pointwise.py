@@ -40,16 +40,12 @@ __all__ = ["PointWiseDownscaler", "DEFAULT_FEATURE_DIM"]
 
 
 def _dataarray_type(X):
-    """Constructor for outputs matching the input's package (xarray or xlite)."""
+    """Constructor for outputs matching the input's type (xarray DataArray,
+    or the built-in xlite container).  Both accept (data, dims=, coords=)."""
     t = type(X)
-    if t.__module__.startswith("xarray"):
-        import xarray as xr
-
-        return lambda data, dims, coords: xr.DataArray(
-            data, dims=dims, coords={k: v for k, v in coords.items() if k in dims}
-        )
-    return lambda data, dims, coords: _XliteDataArray(
-        data, dims, {k: v for k, v in coords.items() if k in dims}
+    maker = t if t.__module__.startswith("xarray") else _XliteDataArray
+    return lambda data, dims, coords: maker(
+        data, dims=dims, coords={k: v for k, v in coords.items() if k in dims}
     )
 
 

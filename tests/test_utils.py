@@ -124,3 +124,41 @@ class TestNative:
         un = native.unpack_scatter(packed, ids, C)
         npt.assert_array_equal(un[:, :, ids], np.moveaxis(packed, 0, 2))
         assert np.isnan(un[:, :, ~mask]).all()
+
+
+class TestDisagg:
+    def test_spatial_disaggregate_temperature(self, rng):
+        from skdownscale_tpu.utils.disagg import spatial_disaggregate
+
+        T, ny, nx, NY, NX = 24, 4, 5, 16, 20
+        anoms = rng.normal(0, 1, (T, ny, nx))
+        climo = 280 + rng.normal(0, 3, (12, NY, NX))
+        months = np.arange(T) % 12
+        out = np.asarray(spatial_disaggregate(anoms, climo, months, kind="temperature"))
+        assert out.shape == (T, NY, NX)
+        # constant anomaly field must reproduce climo + constant exactly
+        const = np.full((T, ny, nx), 1.5)
+        out2 = np.asarray(spatial_disaggregate(const, climo, months, kind="temperature"))
+        npt.assert_allclose(out2, climo[months] + 1.5, rtol=1e-6)
+
+    def test_spatial_disaggregate_precip_ratio(self, rng):
+        from skdownscale_tpu.utils.disagg import spatial_disaggregate
+
+        T, ny, nx, NY, NX = 12, 3, 3, 9, 9
+        ratios = np.full((T, ny, nx), 2.0)
+        climo = rng.gamma(2.0, 30.0, (12, NY, NX))
+        months = np.arange(T) % 12
+        out = np.asarray(spatial_disaggregate(ratios, climo, months, kind="precipitation"))
+        npt.assert_allclose(out, climo[months] * 2.0, rtol=1e-6)
+
+
+class TestScore:
+    def test_regressor_score(self, rng):
+        idx = pd.date_range("1990-01-01", periods=200, freq="D")
+        X = pd.DataFrame({"v": rng.normal(10, 3, 200)}, index=idx)
+        y = X["v"] * 1.1 + 0.5
+        m = sdt.QuantileMappingReressor(extrapolate="both").fit(X, y)
+        s = m.score(X, y)
+        assert 0.9 < s <= 1.0
+        g = sdt.PureRegression().fit(X, y)
+        assert 0.9 < g.score(X, y) <= 1.0
