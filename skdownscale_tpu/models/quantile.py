@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cdf import SYNTHETIC_MAX, SYNTHETIC_MIN, Cdf, calc_extrapolated_cdf, plotting_positions
-from ..ops.interp import interp_rows
+from ..ops.interp import interp_rows, interp_rows_multi
 from ..ops.regression import ols_1d
 from .base import SingleCellEstimator, SingleCellTransformer, asarray_2d
 from .trend import LinearTrendTransformer, TrendState, trend_fit, trend_line
@@ -302,8 +302,15 @@ def edcdfm_predict(
     sort_inds = jnp.argsort(x, axis=-1)
     xs = jnp.take_along_axis(x, sort_inds, axis=-1)
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
-    X_train_vals = interp_rows(state.x_pp, state.x_vals, tc.pp)
-    y_train_vals = interp_rows(state.y_pp, state.y_vals, tc.pp)
+    if state.x_pp.shape == state.y_pp.shape:
+        # equal train lengths -> identical plotting-position knots by
+        # construction: one fused merge through both CDFs
+        X_train_vals, y_train_vals = interp_rows_multi(
+            state.x_pp, (state.x_vals, state.y_vals), tc.pp
+        )
+    else:
+        X_train_vals = interp_rows(state.x_pp, state.x_vals, tc.pp)
+        y_train_vals = interp_rows(state.y_pp, state.y_vals, tc.pp)
     if kind == "difference":
         sorted_y_hat = y_train_vals + (tc.vals - X_train_vals)
     else:  # 'ratio'

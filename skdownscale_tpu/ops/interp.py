@@ -73,6 +73,30 @@ def interp_rows(xp, fp, q):
     return out.reshape(*lead, Q)
 
 
+def interp_rows_multi(xp, fps, q):
+    """Like :func:`interp_rows` but mapping the same queries through several
+    value tables that share one knot vector (fused on the sort-merge path)."""
+    lead = xp.shape[:-1]
+    L = xp.shape[-1]
+    Q = q.shape[-1]
+    if q.shape[:-1] != lead:
+        q = jnp.broadcast_to(q, (*lead, Q))
+    xp2 = xp.reshape(-1, L)
+    fps2 = [fp.reshape(-1, L) for fp in fps]
+    q2 = q.reshape(-1, Q)
+    if _use_pallas() and _pallas_feasible(L, Q, q.dtype.itemsize):
+        from .pallas.interp_kernel import batched_interp
+
+        outs = [batched_interp(xp2, fp2, q2) for fp2 in fps2]
+    elif not _use_pallas() and L <= 1024:
+        outs = [
+            jax.vmap(lambda qq, xx, ff: interp_ramp(qq, xx, ff))(q2, xp2, fp2) for fp2 in fps2
+        ]
+    else:
+        outs = interp_sortmerge_multi(xp2, tuple(fps2), q2)
+    return [o.reshape(*lead, Q) for o in outs]
+
+
 def interp_sortmerge(xp, fp, q):
     """Gather-free batched interp via sort-merge (any query order, any L).
 
@@ -85,50 +109,67 @@ def interp_sortmerge(xp, fp, q):
     stable sort places tied knots before tied queries, reproducing
     ``side='right'`` bracketing).
     """
+    return interp_sortmerge_multi(xp, (fp,), q)[0]
+
+
+def interp_sortmerge_multi(xp, fps, q):
+    """Sort-merge interp of the same queries against SEVERAL monotone value
+    tables sharing one knot vector ``xp`` — one merge, multiple payloads
+    (EDCDFm maps each test quantile through both the train-X and train-y
+    CDFs, whose plotting-position knots are identical by construction)."""
     B, L = xp.shape
     Q = q.shape[-1]
     dtype = q.dtype
     inf = jnp.asarray(jnp.inf, dtype)
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    n_fp = len(fps)
 
     keys = jnp.concatenate([xp, q], axis=-1)  # (B, L+Q)
     isq = jnp.concatenate(
         [jnp.zeros((B, L), jnp.int32), jnp.ones((B, Q), jnp.int32)], axis=-1
     )
-    fv = jnp.concatenate([fp, jnp.zeros((B, Q), dtype)], axis=-1)
+    fvs = [jnp.concatenate([fp, jnp.zeros((B, Q), dtype)], axis=-1) for fp in fps]
     pos = jnp.concatenate(
         [jnp.full((B, L), Q, jnp.int32), jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (B, Q))],
         axis=-1,
     )
-    key_s, isq_s, fv_s, pos_s = jax.lax.sort(
-        (keys, isq, fv, pos), num_keys=1, is_stable=True, dimension=1
+    sorted_ops = jax.lax.sort(
+        (keys, isq, pos, *fvs), num_keys=1, is_stable=True, dimension=1
     )
+    key_s, isq_s, pos_s = sorted_ops[:3]
+    fv_s = sorted_ops[3:]
 
     knot = isq_s == 0
     x0 = jax.lax.cummax(jnp.where(knot, key_s, -inf), axis=1)
-    f0 = jax.lax.cummax(jnp.where(knot, fv_s, -inf), axis=1)
     x1 = jax.lax.cummin(jnp.where(knot, key_s, inf), axis=1, reverse=True)
-    f1 = jax.lax.cummin(jnp.where(knot, fv_s, inf), axis=1, reverse=True)
+    f0s = [jax.lax.cummax(jnp.where(knot, fv, -inf), axis=1) for fv in fv_s]
+    f1s = [jax.lax.cummin(jnp.where(knot, fv, inf), axis=1, reverse=True) for fv in fv_s]
 
     # restore original query order: queries sort to the front by pos
     # (knots carry pos=Q and land behind every query)
-    order_key = pos_s * 2 + isq_s * 0 + (1 - isq_s)  # knots (pos=Q) after queries
-    _, qv, x0, f0, x1, f1 = jax.lax.sort(
-        (order_key, key_s, x0, f0, x1, f1), num_keys=1, is_stable=True, dimension=1
+    order_key = pos_s * 2 + (1 - isq_s)  # knots (pos=Q) after queries
+    back = jax.lax.sort(
+        (order_key, key_s, x0, x1, *f0s, *f1s), num_keys=1, is_stable=True, dimension=1
     )
-    qv, x0, f0, x1, f1 = (a[:, :Q] for a in (qv, x0, f0, x1, f1))
+    qv, x0, x1 = (a[:, :Q] for a in back[1:4])
+    f0s = [a[:, :Q] for a in back[4 : 4 + n_fp]]
+    f1s = [a[:, :Q] for a in back[4 + n_fp :]]
 
     x0c = jnp.clip(x0, -big, big)
     x1c = jnp.clip(x1, -big, big)
-    f1c = jnp.minimum(f1, big)
     dx = x1c - x0c
-    slope = (f1c - f0) / jnp.where(dx != 0, dx, 1.0)
-    slope = jnp.where(dx != 0, slope, 0.0)
+    dx_safe = jnp.where(dx != 0, dx, 1.0)
     use_right = (qv - x0c) > (x1c - qv)
-    res = jnp.where(use_right, f1c + (qv - x1c) * slope, f0 + (qv - x0c) * slope)
-    res = jnp.where(qv < xp[:, :1], fp[:, :1], res)
-    res = jnp.where(qv > xp[:, -1:], fp[:, -1:], res)
-    return res
+    outs = []
+    for fp, f0, f1 in zip(fps, f0s, f1s):
+        f1c = jnp.minimum(f1, big)
+        slope = (f1c - f0) / dx_safe
+        slope = jnp.where(dx != 0, slope, 0.0)
+        res = jnp.where(use_right, f1c + (qv - x1c) * slope, f0 + (qv - x0c) * slope)
+        res = jnp.where(qv < xp[:, :1], fp[:, :1], res)
+        res = jnp.where(qv > xp[:, -1:], fp[:, -1:], res)
+        outs.append(res)
+    return outs
 
 
 def interp_ramp(x, xp, fp):
