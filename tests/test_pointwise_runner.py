@@ -230,3 +230,19 @@ def test_get_attr_with_template(rng):
     assert shift.dims == ("day", "y", "x")
     assert shift.values.shape == (n_day, ny, nx)
     assert np.isnan(shift.values[:, 0, 0]).all()
+
+
+def test_sklearn_pipeline_fallback(grid_data):
+    # the reference's docstring use case: wrap an sklearn Pipeline (core.py:204)
+    from sklearn.linear_model import LinearRegression
+    from sklearn.pipeline import Pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    X, y, idx = grid_data
+    pipe = Pipeline([("scale", StandardScaler()), ("lm", LinearRegression())])
+    d = sdt.PointWiseDownscaler(pipe)
+    d.fit(X, y)
+    out = d.predict(X)
+    assert out.shape == X.shape
+    assert np.isnan(out.values[:, 0, 0]).all()
+    assert np.isfinite(out.values[:, 1:, :]).all()
