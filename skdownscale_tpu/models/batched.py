@@ -254,7 +254,9 @@ _REGISTRY[_bcsd.BcsdBase] = _Impl(
     _bcsd_fit,
     _bcsd_predict,
     None,
-    lambda model, state: {"y_climo_": np.asarray(state.y_climo)},
+    lambda model, state: {
+        "y_climo_": np.asarray(state.aux.reshape(*state.aux.shape[:-1], 4, -1)[..., 2, :])
+    },
 )
 
 

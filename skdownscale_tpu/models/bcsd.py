@@ -110,9 +110,24 @@ def _match_keys(src_keys, dst_keys, what: str) -> np.ndarray:
 
 
 class BcsdState(NamedTuple):
-    qm: GroupedCdf  # per-fit-group CDFs of y
-    y_climo: jnp.ndarray  # (..., G)
-    x_climo: jnp.ndarray  # (..., G) — zeros for precipitation
+    """Fitted BCSD state, stored in padding-friendly 2-D layout.
+
+    XLA tiles the two minor dims of an array to (8, 128); a (cells, G=12,
+    L) CDF tensor therefore pads ~10x in HBM (the observed 1M-cell OOM).
+    Flattening the per-cell axes to (cells, G*L) / (cells, 4*G) keeps pad
+    waste at ~1x; :func:`bcsd_predict` reshapes views at use sites.
+    """
+
+    pp: jnp.ndarray  # (G, L) plotting positions (shared across cells)
+    vals: jnp.ndarray  # (..., G*L) sorted per-group CDF values, flattened
+    aux: jnp.ndarray  # (..., 4*G): [trend_slope, trend_intercept, y_climo, x_climo]
+
+    def unpack(self, G: int, L: int):
+        lead = self.vals.shape[:-1]
+        vals = self.vals.reshape(*lead, G, L)
+        a = self.aux.reshape(*lead, 4, G)
+        qm = GroupedCdf(self.pp, vals, a[..., 0, :], a[..., 1, :])
+        return qm, a[..., 2, :], a[..., 3, :]  # qm, y_climo, x_climo
 
 
 def _masked_group_mean(v, groups: PaddedGroups):
@@ -140,7 +155,10 @@ def bcsd_fit(
     else:
         x_climo = jnp.zeros_like(y_climo)
     qm = grouped_qm_fit(y, fit_groups, alpha=alpha, beta=beta, detrend=detrend)
-    return BcsdState(qm, y_climo, x_climo)
+    lead = y_climo.shape[:-1]
+    G, L = fit_groups.indices.shape
+    aux = jnp.stack([qm.trend_slope, qm.trend_intercept, y_climo, x_climo], axis=-2)
+    return BcsdState(qm.pp, qm.vals.reshape(*lead, G * L), aux.reshape(*lead, 4 * G))
 
 
 def bcsd_predict(
@@ -162,8 +180,9 @@ def bcsd_predict(
     """
     n = x.shape[-1]
     t2f = plan.transform_to_fit
+    G, L = plan.fit.indices.shape
+    qm, y_climo, x_climo = state.unpack(G, L)
     # align fit-group CDFs/metadata to the transform partition's rows
-    qm = state.qm
     qm_aligned = GroupedCdf(
         qm.pp[t2f],
         qm.vals[..., t2f, :],
@@ -180,7 +199,7 @@ def bcsd_predict(
         rolled_g = rolling_mean(xg, rolling_window, center=True, min_periods=1, valid=rmask)
         rolled = scatter_groups(jnp.where(rmask, rolled_g, 0.0), plan.rolling, n)
         # remove climatology from the climate trend (bcsd.py:253)
-        x_shift = rolled - state.x_climo[..., plan.shift_labels]
+        x_shift = rolled - x_climo[..., plan.shift_labels]
         x_no_shift = x - x_shift
     else:
         x_shift = jnp.zeros_like(x)
@@ -203,11 +222,11 @@ def bcsd_predict(
     if variable == "temperature":
         out = x_shift + xqm  # restore the climate trend (bcsd.py:263)
         if return_anoms:
-            out = out - state.y_climo[..., anom]
+            out = out - y_climo[..., anom]
     else:
         out = xqm
         if return_anoms:
-            out = out / state.y_climo[..., anom]  # ratio anomalies (bcsd.py:172-185)
+            out = out / y_climo[..., anom]  # ratio anomalies (bcsd.py:172-185)
     return out
 
 
@@ -329,13 +348,15 @@ class BcsdBase(SingleCellEstimator):
         p = self._qm_params()
         fit = _jit_fit(fg, self._with_x_climo, p["alpha"], p["beta"], p["detrend"])
         state = fit(jnp.asarray(Xa[:, 0]), jnp.asarray(ya[:, 0]))
+        G, L = fg.indices.shape
+        _, y_climo, _ = state.unpack(G, L)
         if self._with_x_climo is False and self.return_anoms:
-            if float(np.min(np.asarray(state.y_climo))) <= 0:
+            if float(np.min(np.asarray(y_climo))) <= 0:
                 raise ValueError("Invalid value in target climatology")  # bcsd.py:140-141
         self._state = jax.tree_util.tree_map(np.asarray, state)
         self._fit_groups_ = fg
         self._fit_index_ = index
-        self.y_climo_ = np.asarray(state.y_climo)
+        self.y_climo_ = np.asarray(y_climo)
         self.quantile_mappers_ = {
             k: None for k in np.asarray(fg.keys).tolist()
         }  # key inventory for API parity; CDFs live in ._state
@@ -354,11 +375,7 @@ class BcsdBase(SingleCellEstimator):
                 "climatology failure, bcsd.py:90-92)"
             )
         p = self._qm_params()
-        state = BcsdState(
-            GroupedCdf(*[jnp.asarray(a) for a in self._state.qm]),
-            jnp.asarray(self._state.y_climo),
-            jnp.asarray(self._state.x_climo),
-        )
+        state = BcsdState(*[jnp.asarray(a) for a in self._state])
         pred = _jit_predict(
             plan,
             "temperature" if self._with_x_climo else "precipitation",

@@ -108,7 +108,7 @@ def pure_analog_predict(X_train, y_train, Xq, rand_inds, *, k: int, kind: str, t
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thresh", "logistic_n_iter"))
-def analog_regression_predict(X_train, y_train, Xq, *, k: int, thresh=None, logistic_n_iter=30):
+def analog_regression_predict(X_train, y_train, Xq, *, k: int, thresh=None, logistic_n_iter=12):
     """``AnalogRegression.predict`` core (``gard.py:152-224``): per time step,
     a local linear model on the k nearest analogs (optionally threshold-
     masked) plus a local logistic exceedance model — all steps batched."""
@@ -158,7 +158,7 @@ class PureRegressionState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "logistic_n_iter"))
-def pure_regression_fit(X, y, *, thresh=None, logistic_n_iter=30) -> PureRegressionState:
+def pure_regression_fit(X, y, *, thresh=None, logistic_n_iter=12) -> PureRegressionState:
     """``PureRegression.fit`` core (``gard.py:408-447``)."""
     f = X.shape[1]
     if thresh is not None:

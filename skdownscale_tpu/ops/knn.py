@@ -19,18 +19,23 @@ import jax.numpy as jnp
 __all__ = ["knn"]
 
 
-def _knn_block(train, tn, queries, k: int):
+def _knn_block(train, tn, queries, k: int, approx: bool = False):
     # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
     qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
     cross = queries @ train.T  # (m, n)
     d2 = qn - 2.0 * cross + tn[None, :]
     d2 = jnp.maximum(d2, 0.0)
-    # top_k on negative distance; ties broken toward lower index (stable)
-    neg, inds = jax.lax.top_k(-d2, k)
+    if approx:
+        # TPU-optimized approximate selection (recall ~0.95 default);
+        # results are NOT sorted-set-identical to exact kNN — opt-in only
+        neg, inds = jax.lax.approx_max_k(-d2, k)
+    else:
+        # top_k on negative distance; ties broken toward lower index (stable)
+        neg, inds = jax.lax.top_k(-d2, k)
     return jnp.sqrt(-neg), inds
 
 
-def knn(train, queries, k: int, *, return_distance: bool = True, query_chunk: int = 64):
+def knn(train, queries, k: int, *, return_distance: bool = True, query_chunk: int = 64, approx: bool = False):
     """k nearest neighbours by Euclidean distance.
 
     Parameters
@@ -51,12 +56,12 @@ def knn(train, queries, k: int, *, return_distance: bool = True, query_chunk: in
     tn = jnp.sum(train * train, axis=-1)  # (n,)
     m = queries.shape[0]
     if query_chunk is None or m <= query_chunk:
-        dist, inds = _knn_block(train, tn, queries, k)
+        dist, inds = _knn_block(train, tn, queries, k, approx)
     else:
         pad = (-m) % query_chunk
         qp = jnp.pad(queries, ((0, pad), (0, 0)))
         blocks = qp.reshape(-1, query_chunk, queries.shape[1])
-        dist, inds = jax.lax.map(lambda qb: _knn_block(train, tn, qb, k), blocks)
+        dist, inds = jax.lax.map(lambda qb: _knn_block(train, tn, qb, k, approx), blocks)
         dist = dist.reshape(-1, k)[:m]
         inds = inds.reshape(-1, k)[:m]
     if not return_distance:
