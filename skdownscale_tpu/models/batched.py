@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.timeindex import TimeIndex
 from . import bcsd as _bcsd
 from . import gard as _gard
 from . import quantile as _q

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cdf import SYNTHETIC_MAX, SYNTHETIC_MIN, Cdf, calc_extrapolated_cdf, plotting_positions
+from ..ops.cdf import Cdf, calc_extrapolated_cdf, plotting_positions
 from ..ops.interp import interp_rows, interp_rows_multi
 from ..ops.regression import ols_1d
 from .base import SingleCellEstimator, SingleCellTransformer, asarray_2d

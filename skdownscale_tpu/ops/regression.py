@@ -171,7 +171,6 @@ def logistic_fit(X, y, w=None, C: float = 1.0, n_iter: int = 12):
     if w is None:
         w = jnp.ones(n, X.dtype)
     Xb = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)  # (n, k+1)
-    s = 2.0 * y - 1.0
     reg = jnp.concatenate([jnp.ones(k, X.dtype), jnp.zeros(1, X.dtype)])
 
     def step(beta, _):
@@ -188,7 +187,6 @@ def logistic_fit(X, y, w=None, C: float = 1.0, n_iter: int = 12):
 
     beta0 = jnp.zeros(k + 1, X.dtype)
     beta, _ = jax.lax.scan(step, beta0, None, length=n_iter)
-    del s
     return beta[:k], beta[k]
 
 

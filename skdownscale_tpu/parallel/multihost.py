@@ -17,7 +17,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import CELL_AXIS, pad_to_multiple
+from .mesh import pad_to_multiple
 
 __all__ = ["host_cell_slice", "feed_cells"]
 
