@@ -70,8 +70,11 @@ def _doy_window_stats(v, idx, mask, window: int):
     (``zscore.py:162-193``)."""
     M = jnp.where(mask, v[idx], 0.0)  # (Y, D)
     V = mask
-    nlo = window // 2 + 1  # bookend: last nlo columns lead
-    nhi = window // 2  # bookend: first nhi columns trail
+    # bookends (zscore.py:155-158): late_decs = isel(slice(-window//2, None))
+    # — Python floor division makes that ceil(window/2) columns — and
+    # early_jans = the first window//2 columns
+    nlo = (window + 1) // 2
+    nhi = window // 2
     Mp = jnp.concatenate([M[:, -nlo:], M, M[:, :nhi]], axis=1)
     Vp = jnp.concatenate([V[:, -nlo:], V, V[:, :nhi]], axis=1)
     s1, c = rolling_sum_count(Mp, Vp, window, center=True)

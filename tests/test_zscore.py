@@ -23,14 +23,15 @@ def numpy_ref_stats(series: pd.Series, window: int):
     )
     M = df.pivot_table(index="year", columns="doy", values="v", aggfunc="first")
     arr = M.to_numpy()  # (Y, D) with NaN holes
-    nlo = window // 2 + 1
+    nlo = (window + 1) // 2
     nhi = window // 2
     pad = np.concatenate([arr[:, -nlo:], arr, arr[:, :nhi]], axis=1)
     P = pad.shape[1]
-    h = window // 2
     means, stds = np.empty(P), np.empty(P)
     for p in range(P):
-        w = pad[:, max(0, p - h) : p + h + 1]
+        # centered window [p - w//2, p + (w-1)//2] (pandas convention; odd
+        # windows — the reference default — are identical in all conventions)
+        w = pad[:, max(0, p - window // 2) : p + (window - 1) // 2 + 1]
         v = w[~np.isnan(w)]
         means[p] = v.mean() if v.size else np.nan
         stds[p] = v.std(ddof=0) if v.size else np.nan
@@ -115,3 +116,12 @@ def test_multifeature_raises(daily, rng):
     X2 = X.assign(u=rng.normal(size=len(X)))
     with pytest.raises(ValueError, match="1 feature"):
         ZScoreRegressor().fit(X2, y)
+
+
+@pytest.mark.parametrize("window", [30, 31, 15])
+def test_fit_stats_any_window(daily, window):
+    X, y = daily
+    m = ZScoreRegressor(window_width=window).fit(X, y)
+    x_mean, x_std = numpy_ref_stats(X["t"], window)
+    npt.assert_allclose(m.fit_stats_dict_["X_mean"], x_mean, rtol=1e-9)
+    npt.assert_allclose(m.fit_stats_dict_["X_std"], x_std, rtol=1e-9)
