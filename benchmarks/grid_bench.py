@@ -2,9 +2,13 @@
 """End-to-end grid benchmark THROUGH the public PointWiseDownscaler API.
 
 Unlike bench.py (functional-core steady state), this times the whole
-user-facing path: host packing (native gridpack), device transfer over the
-tunnel, batched compute, and unpacking back to the labeled grid — i.e. what
-a user actually experiences, including ocean-cell compaction.
+user-facing path: host packing (native gridpack), device transfer, batched
+compute, and unpacking back to the labeled grid — i.e. what a user actually
+experiences, including ocean-cell compaction.
+
+CAVEAT (this environment): the tunneled TPU's device->host readback runs at
+~25 MB/s (vs ~GB/s co-located), so end-to-end numbers here are
+transfer-bound artifacts; compute is the bench.py number.
 """
 
 import json
