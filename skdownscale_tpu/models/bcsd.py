@@ -110,30 +110,29 @@ def _match_keys(src_keys, dst_keys, what: str) -> np.ndarray:
 
 
 class BcsdState(NamedTuple):
-    """Fitted BCSD state, stored in padding-friendly 2-D layout.
+    """Fitted BCSD state, stored in padding-friendly flat 2-D layout
+    (see :mod:`.grouped` for the layout discipline).
 
-    XLA tiles the two minor dims of an array to (8, 128); a (cells, G=12,
-    L) CDF tensor therefore pads ~10x in HBM (the observed 1M-cell OOM).
-    Flattening the per-cell axes to (cells, G*L) / (cells, 4*G) keeps pad
-    waste at ~1x; :func:`bcsd_predict` reshapes views at use sites.
+    All per-cell tensors are 2-D: XLA tiles the two minor dims of an array
+    to (8, 128), so a materialized (cells, G=12, L) tensor pads ~10x in HBM
+    (the observed 1M-cell OOM).
     """
 
-    pp: jnp.ndarray  # (G, L) plotting positions (shared across cells)
-    vals: jnp.ndarray  # (..., G*L) sorted per-group CDF values, flattened
+    pp: jnp.ndarray  # (G*L,) plotting positions (shared across cells)
+    vals: jnp.ndarray  # (..., G*L) sorted per-group CDF values, flat
     aux: jnp.ndarray  # (..., 4*G): [trend_slope, trend_intercept, y_climo, x_climo]
 
     def unpack(self, G: int, L: int):
-        lead = self.vals.shape[:-1]
-        vals = self.vals.reshape(*lead, G, L)
-        a = self.aux.reshape(*lead, 4, G)
-        qm = GroupedCdf(self.pp, vals, a[..., 0, :], a[..., 1, :])
+        a = self.aux.reshape(*self.aux.shape[:-1], 4, G)
+        qm = GroupedCdf(self.pp, self.vals, a[..., 0, :], a[..., 1, :])
         return qm, a[..., 2, :], a[..., 3, :]  # qm, y_climo, x_climo
 
 
 def _masked_group_mean(v, groups: PaddedGroups):
-    g = gather_groups(v, groups, fill=0.0)
+    G, L = groups.indices.shape
+    g = gather_groups(v, groups, fill=0.0)  # (..., G*L)
     denom = jnp.asarray(np.maximum(groups.counts, 1), v.dtype)
-    return jnp.sum(g, axis=-1) / denom
+    return jnp.sum(g.reshape(*g.shape[:-1], G, L), axis=-1) / denom
 
 
 def bcsd_fit(
@@ -156,9 +155,9 @@ def bcsd_fit(
         x_climo = jnp.zeros_like(y_climo)
     qm = grouped_qm_fit(y, fit_groups, alpha=alpha, beta=beta, detrend=detrend)
     lead = y_climo.shape[:-1]
-    G, L = fit_groups.indices.shape
+    G = fit_groups.n_groups
     aux = jnp.stack([qm.trend_slope, qm.trend_intercept, y_climo, x_climo], axis=-2)
-    return BcsdState(qm.pp, qm.vals.reshape(*lead, G * L), aux.reshape(*lead, 4 * G))
+    return BcsdState(qm.pp, qm.vals, aux.reshape(*lead, 4 * G))
 
 
 def bcsd_predict(
@@ -182,22 +181,30 @@ def bcsd_predict(
     t2f = plan.transform_to_fit
     G, L = plan.fit.indices.shape
     qm, y_climo, x_climo = state.unpack(G, L)
-    # align fit-group CDFs/metadata to the transform partition's rows
+    # align fit-group CDFs/metadata to the transform partition's rows —
+    # a flat static column gather (host-computed indices, stays 2-D)
+    aligned_cols = (t2f[:, None] * L + np.arange(L)).reshape(-1)
     qm_aligned = GroupedCdf(
-        qm.pp[t2f],
-        qm.vals[..., t2f, :],
+        qm.pp[aligned_cols],
+        qm.vals[..., aligned_cols],
         qm.trend_slope[..., t2f],
         qm.trend_intercept[..., t2f],
     )
     fit_counts_aligned = plan.fit.counts[t2f]
-    fit_valid_aligned = plan.fit.mask[t2f]
+    fit_valid_aligned = plan.fit.mask[t2f].reshape(-1)
 
     if variable == "temperature":
-        # 9-point centered rolling mean within each climate-trend group
-        xg = gather_groups(x, plan.rolling, fill=0.0)
-        rmask = jnp.asarray(plan.rolling.mask)
-        rolled_g = rolling_mean(xg, rolling_window, center=True, min_periods=1, valid=rmask)
-        rolled = scatter_groups(jnp.where(rmask, rolled_g, 0.0), plan.rolling, n)
+        # 9-point centered rolling mean within each climate-trend group;
+        # groups fold into rows so the rolling buffers stay 2-D
+        M, Lr = plan.rolling.indices.shape
+        xg = gather_groups(x, plan.rolling, fill=0.0)  # (..., M*Lr)
+        lead = xg.shape[:-1]
+        rmask2 = jnp.asarray(plan.rolling.mask)  # (M, Lr)
+        rolled_g = rolling_mean(
+            xg.reshape(*lead, M, Lr), rolling_window, center=True, min_periods=1, valid=rmask2
+        )
+        rolled_flat = jnp.where(rmask2, rolled_g, 0.0).reshape(*lead, M * Lr)
+        rolled = scatter_groups(rolled_flat, plan.rolling, n)
         # remove climatology from the climate trend (bcsd.py:253)
         x_shift = rolled - x_climo[..., plan.shift_labels]
         x_no_shift = x - x_shift

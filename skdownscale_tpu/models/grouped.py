@@ -1,19 +1,24 @@
-"""Ragged-group quantile mapping under fixed XLA shapes — batch-native.
+"""Ragged-group quantile mapping under fixed XLA shapes — flat-2D layout.
 
 BCSD fits one ``QuantileMapper`` per time group — months have 28–31 days and
 training records have varying lengths, so group CDFs are *ragged*
 (``/root/reference/skdownscale/pointwise_models/bcsd.py:59-79``).  The
 reference loops a Python dict of mapper objects; here every group lives in a
-padded ``(G, L)`` table and the Cunnane transform / inverse run on all groups
-of all cells at once.
+padded table and the Cunnane transform / inverse run on all groups of all
+cells at once.
+
+Layout discipline: XLA tiles the two minor dims of an array to (8, 128), so
+a materialized (cells, G, L) tensor pads up to ~10x in HBM (the 1M-cell OOM
+of round 1).  All *materialized* group tensors here are therefore flat 2-D
+``(cells, G*L)``; 3-D ``(cells, G, L)`` shapes exist only as reshape views
+between fused elementwise ops.  Per-group sorting — the one op that must
+materialize — runs as a single 2-D two-key ``lax.sort`` over (group_id,
+value) along the flat axis: groups stay contiguous and each sorts
+internally, with +inf pads falling to each group's tail.
 
 Group structure (:class:`~skdownscale_tpu.utils.timeindex.PaddedGroups`) is
-*host* metadata: membership indices, masks and counts are numpy arrays baked
-into the compiled program as constants, so every gather/slice is static —
-no dynamic-slice lowering, and tail windows are precomputed index tables.
-All functions take arrays with arbitrary leading batch (cell) dims; the
-group axis is explicit (no outer vmap needed), which lets the hot interp run
-through the fused Pallas kernel (:mod:`..ops.pallas.interp_kernel`).
+*host* metadata baked into the compiled program, so every gather/slice is
+static.  All functions take arrays with arbitrary leading batch (cell) dims.
 
 Padding conventions (see ``ops.interp.pad_table``): sorted value tables pad
 with ``+inf``; plotting-position tables repeat their last valid entry.
@@ -23,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,73 +49,93 @@ __all__ = [
 
 
 class GroupedCdf(NamedTuple):
-    """Per-group Cunnane CDFs.
+    """Per-group Cunnane CDFs in flat layout.
 
-    ``vals``: (..., G, L) sorted ascending, +inf padded; ``pp``: (G, L)
-    plotting positions (shared across batch; pads repeat the last valid).
-    Trend fields are zeros unless fit with ``detrend=True``.
+    ``vals``: (..., G*L) sorted ascending within each group, +inf padded;
+    ``pp``: (G*L,) plotting positions (shared across batch; pads repeat the
+    last valid).  Trend fields are zeros unless fit with ``detrend=True``.
     """
 
-    pp: jnp.ndarray  # (G, L)
-    vals: jnp.ndarray  # (..., G, L)
+    pp: jnp.ndarray  # (G*L,)
+    vals: jnp.ndarray  # (..., G*L)
     trend_slope: jnp.ndarray  # (..., G)
     trend_intercept: jnp.ndarray  # (..., G)
 
 
 def gather_groups(x, groups: PaddedGroups, fill=jnp.inf):
-    """Gather ``x`` (..., T) into padded group rows (..., G, L)."""
-    g = x[..., groups.indices]  # static gather: indices are host constants
-    return jnp.where(jnp.asarray(groups.mask), g, fill)
+    """Gather ``x`` (..., T) into flat padded group rows (..., G*L)."""
+    flat_idx = groups.indices.reshape(-1)  # host constant
+    g = x[..., flat_idx]  # static gather, 2-D output
+    return jnp.where(jnp.asarray(groups.mask.reshape(-1)), g, fill)
 
 
-def scatter_groups(vals, groups: PaddedGroups, n: int):
-    """Scatter padded group rows (..., G, L) back to (..., n) (partition
+def scatter_groups(vals_flat, groups: PaddedGroups, n: int):
+    """Scatter flat padded group rows (..., G*L) back to (..., n) (partition
     groups: each time index appears in exactly one (group, slot))."""
-    contrib = jnp.where(jnp.asarray(groups.mask), vals, 0.0)
+    contrib = jnp.where(jnp.asarray(groups.mask.reshape(-1)), vals_flat, 0.0)
     flat_idx = groups.indices.reshape(-1)
-    lead = vals.shape[:-2]
-    out = jnp.zeros((*lead, n), vals.dtype)
-    return out.at[..., flat_idx].add(contrib.reshape(*lead, -1))
+    lead = vals_flat.shape[:-1]
+    out = jnp.zeros((*lead, n), vals_flat.dtype)
+    return out.at[..., flat_idx].add(contrib)
 
 
 def _padded_pp(groups: PaddedGroups, alpha: float, beta: float) -> np.ndarray:
-    """Host-computed Cunnane plotting positions per group; padding repeats
-    the last valid position (monotone table with zero pad slope)."""
+    """Host-computed Cunnane plotting positions per group, flat (G*L,);
+    padding repeats the last valid position (monotone table with zero pad
+    slope)."""
     G, L = groups.indices.shape
     i = np.arange(1, L + 1, dtype=np.float64)[None, :]
     n = groups.counts.astype(np.float64)[:, None]
-    return (np.minimum(i, np.maximum(n, 1)) - alpha) / (n + 1.0 - alpha - beta)
+    pp = (np.minimum(i, np.maximum(n, 1)) - alpha) / (n + 1.0 - alpha - beta)
+    return pp.reshape(-1)
 
 
-def _masked_trend(xg, groups: PaddedGroups):
+def _group_ids(groups: PaddedGroups) -> np.ndarray:
+    G, L = groups.indices.shape
+    return np.repeat(np.arange(G, dtype=np.int32), L)
+
+
+def _sort_within_groups(vflat, groups: PaddedGroups):
+    """Sort each group's slots by value with ONE flat 2-D two-key sort."""
+    gid = jnp.broadcast_to(jnp.asarray(_group_ids(groups)), vflat.shape)
+    _, sorted_v = jax.lax.sort((gid, vflat), num_keys=2, is_stable=True, dimension=vflat.ndim - 1)
+    return sorted_v
+
+
+def _masked_trend(xg_flat, groups: PaddedGroups):
     """Per-group linear trend vs within-group position (masked OLS against
     ``arange``), matching ``LinearTrendTransformer`` fit on each group's
     sub-frame (``quantile.py:97``)."""
-    L = xg.shape[-1]
-    t = jnp.arange(L, dtype=xg.dtype)
-    w = jnp.asarray(groups.mask, xg.dtype)
+    G, L = groups.indices.shape
+    lead = xg_flat.shape[:-1]
+    xg = xg_flat.reshape(*lead, G, L)
+    t = jnp.arange(L, dtype=xg_flat.dtype)
+    w = jnp.asarray(groups.mask, xg_flat.dtype)
     slope, intercept = ols_1d(t, jnp.where(jnp.asarray(groups.mask), xg, 0.0), w)
-    return slope, intercept
+    return slope, intercept  # (..., G)
 
 
-def _trend_line(slope, intercept, L: int, dtype):
+def _trend_line_flat(slope, intercept, groups: PaddedGroups, dtype):
+    G, L = groups.indices.shape
     t = jnp.arange(L, dtype=dtype)
-    return slope[..., None] * t + intercept[..., None]
+    line = slope[..., None] * t + intercept[..., None]  # (..., G, L)
+    return line.reshape(*slope.shape[:-1], G * L)
 
 
 def cunnane_fit_padded(
-    xg, groups: PaddedGroups, *, alpha: float = 0.4, beta: float = 0.4, detrend: bool = False
+    xg_flat, groups: PaddedGroups, *, alpha: float = 0.4, beta: float = 0.4, detrend: bool = False
 ) -> GroupedCdf:
-    """Fit per-group Cunnane CDFs from padded group rows (..., G, L)."""
-    dtype = xg.dtype
-    lead = xg.shape[:-2]
+    """Fit per-group Cunnane CDFs from flat padded group rows (..., G*L)."""
+    dtype = xg_flat.dtype
+    lead = xg_flat.shape[:-1]
     if detrend:
-        slope, intercept = _masked_trend(xg, groups)
-        xg = xg - _trend_line(slope, intercept, xg.shape[-1], dtype)
+        slope, intercept = _masked_trend(xg_flat, groups)
+        xg_flat = xg_flat - _trend_line_flat(slope, intercept, groups, dtype)
     else:
         slope = jnp.zeros((*lead, groups.n_groups), dtype)
         intercept = jnp.zeros((*lead, groups.n_groups), dtype)
-    vals = jnp.sort(jnp.where(jnp.asarray(groups.mask), xg, jnp.inf), axis=-1)
+    masked = jnp.where(jnp.asarray(groups.mask.reshape(-1)), xg_flat, jnp.inf)
+    vals = _sort_within_groups(masked, groups)
     pp = jnp.asarray(_padded_pp(groups, alpha, beta), dtype)
     return GroupedCdf(pp, vals, slope, intercept)
 
@@ -117,7 +143,6 @@ def cunnane_fit_padded(
 def _tail_windows(counts: np.ndarray, L: int, n_endpoints: int):
     """Host-precomputed tail-window column indices and 0/1 weights."""
     ne = min(n_endpoints, L)
-    G = len(counts)
     j = np.arange(ne)[None, :]
     w_lo = (j < counts[:, None]).astype(np.float64)  # first ne valid knots
     start = np.maximum(counts - ne, 0)[:, None]
@@ -126,60 +151,77 @@ def _tail_windows(counts: np.ndarray, L: int, n_endpoints: int):
     return ne, w_lo, hi_cols, w_hi
 
 
-def _cunnane_map_rows(q, table_x, table_y, counts: np.ndarray, extrapolate, n_endpoints: int):
+def _cunnane_map_flat(
+    q_flat, table_x_flat, table_y_flat, groups_q: PaddedGroups, counts: np.ndarray,
+    L_table: int, extrapolate, n_endpoints: int,
+):
     """Shared ragged kernel for transform (vals->pp) and inverse (pp->vals):
-    semantics of ``quantile.py:485-503`` / ``523-545`` on padded tables.
+    semantics of ``quantile.py:485-503`` / ``523-545``.
 
-    ``q``: (..., G, Q); ``table_x``/``table_y``: (..., G, L) (or (G, L));
-    ``counts``: host (G,).
+    ``q_flat``: (..., G*Lq) queries grouped per ``groups_q``;
+    ``table_*_flat``: (..., G*L_table) or (G*L_table,) monotone-per-group
+    tables; ``counts``: host (G,) valid knots per table group.
     """
-    dtype = q.dtype
-    lead = q.shape[:-2]
-    G, L = table_x.shape[-2:]
-    if table_x.ndim < q.ndim:
-        table_x = jnp.broadcast_to(table_x, (*lead, G, L))
-    if table_y.ndim < q.ndim:
-        table_y = jnp.broadcast_to(table_y, (*lead, G, L))
-    res = interp_rows(table_x, table_y, q)
+    dtype = q_flat.dtype
+    lead = q_flat.shape[:-1]
+    G, Lq = groups_q.indices.shape
+    Lt = L_table
+
+    tx = jnp.broadcast_to(table_x_flat, (*lead, G * Lt)).reshape(*lead, G, Lt)
+    ty = jnp.broadcast_to(table_y_flat, (*lead, G * Lt)).reshape(*lead, G, Lt)
+    q3 = q_flat.reshape(*lead, G, Lq)
+    res = interp_rows(tx, ty, q3)  # (..., G, Lq); 2-D reshapes compose inside
 
     if extrapolate in ("min", "max", "both"):
-        ne, w_lo, hi_cols, w_hi = _tail_windows(counts, L, n_endpoints)
+        ne, w_lo, hi_cols, w_hi = _tail_windows(counts, Lt, n_endpoints)
         g_idx = np.arange(G)[:, None]
-        lo_edge = table_x[..., :, 0:1]
-        hi_edge = table_x[..., g_idx[:, 0], np.maximum(counts - 1, 0)][..., None]
+        lo_edge = tx[..., :, 0:1]
+        hi_edge = tx[..., g_idx[:, 0], np.maximum(counts - 1, 0)][..., None]
         if extrapolate in ("min", "both"):
-            lo_s, lo_i = ols_1d(
-                table_x[..., :ne], table_y[..., :ne], jnp.asarray(w_lo, dtype)
-            )
-            res = jnp.where(q < lo_edge, lo_i[..., None] + lo_s[..., None] * q, res)
+            lo_s, lo_i = ols_1d(tx[..., :ne], ty[..., :ne], jnp.asarray(w_lo, dtype))
+            res = jnp.where(q3 < lo_edge, lo_i[..., None] + lo_s[..., None] * q3, res)
         if extrapolate in ("max", "both"):
-            hx = table_x[..., g_idx, hi_cols]  # (..., G, ne) static gather
-            hy = table_y[..., g_idx, hi_cols]
+            hx = tx[..., g_idx, hi_cols]  # (..., G, ne) static gather
+            hy = ty[..., g_idx, hi_cols]
             hi_s, hi_i = ols_1d(hx, hy, jnp.asarray(w_hi, dtype))
-            res = jnp.where(q > hi_edge, hi_i[..., None] + hi_s[..., None] * q, res)
-    return res
+            res = jnp.where(q3 > hi_edge, hi_i[..., None] + hi_s[..., None] * q3, res)
+    return res.reshape(*lead, G * Lq)
 
 
 def cunnane_transform_padded(
-    cdf: GroupedCdf, xg, counts: np.ndarray, extrapolate="both", n_endpoints: int = 10
+    cdf: GroupedCdf, xg_flat, groups_q: PaddedGroups, counts: np.ndarray,
+    extrapolate="both", n_endpoints: int = 10,
 ):
-    """values -> plotting positions per group; ``xg``: (..., G, Q)."""
-    return _cunnane_map_rows(xg, cdf.vals, cdf.pp, counts, extrapolate, n_endpoints)
+    """values -> plotting positions per group; ``xg_flat``: (..., G*Lq)
+    grouped per ``groups_q`` against the cdf's G groups (row-aligned)."""
+    Lt = cdf.vals.shape[-1] // groups_q.n_groups
+    return _cunnane_map_flat(
+        xg_flat, cdf.vals, cdf.pp, groups_q, counts, Lt, extrapolate, n_endpoints
+    )
 
 
 def cunnane_inverse_padded(
-    cdf: GroupedCdf, qg, counts: np.ndarray, mask_valid: np.ndarray, extrapolate="both", n_endpoints: int = 10
+    cdf: GroupedCdf, qg_flat, groups_q: PaddedGroups, counts: np.ndarray,
+    valid_flat: np.ndarray, extrapolate="both", n_endpoints: int = 10,
 ):
-    """plotting positions -> values per group; ``qg``: (..., G, Q).
+    """plotting positions -> values per group; ``qg_flat``: (..., G*Lq).
 
     Builds the (pp -> vals) direction tables: pp pads to +inf, vals pads to
-    the last valid value (monotone + zero pad slope).
+    each group's last valid value (monotone + zero pad slope).
     """
-    valid = jnp.asarray(mask_valid)
+    G = groups_q.n_groups
+    Lt = cdf.vals.shape[-1] // G
+    lead = cdf.vals.shape[:-1]
+    valid = jnp.asarray(valid_flat)
     pp_tab = jnp.where(valid, cdf.pp, jnp.inf)
-    v_last = jnp.max(jnp.where(valid, cdf.vals, -jnp.inf), axis=-1, keepdims=True)
-    vals_tab = jnp.where(valid, cdf.vals, v_last)
-    return _cunnane_map_rows(qg, pp_tab, vals_tab, counts, extrapolate, n_endpoints)
+    vals3 = cdf.vals.reshape(*lead, G, Lt)
+    v_last = jnp.max(
+        jnp.where(valid.reshape(G, Lt), vals3, -jnp.inf), axis=-1, keepdims=True
+    )
+    vals_tab = jnp.where(valid.reshape(G, Lt), vals3, v_last).reshape(*lead, G * Lt)
+    return _cunnane_map_flat(
+        qg_flat, pp_tab, vals_tab, groups_q, counts, Lt, extrapolate, n_endpoints
+    )
 
 
 def grouped_qm_fit(
@@ -199,7 +241,7 @@ def grouped_qm_fit(
 def grouped_qm_transform(
     fit_cdf: GroupedCdf,
     fit_counts: np.ndarray,
-    fit_valid: np.ndarray,
+    fit_valid_flat: np.ndarray,
     x,
     groups: PaddedGroups,
     *,
@@ -214,21 +256,27 @@ def grouped_qm_transform(
     transform to plotting positions, then inverse through the stored fit CDF
     (rows pre-aligned to ``groups``); scatter back to (..., len(x)).
 
-    ``fit_counts``/``fit_valid``: host count vector / (G, L) validity mask of
-    the *fit* tables (aligned to this partition's rows).
+    ``fit_counts``/``fit_valid_flat``: host count vector / flat (G*Lt,)
+    validity mask of the *fit* tables (aligned to this partition's rows).
     """
     dtype = x.dtype
     xg_raw = gather_groups(x, groups, fill=0.0)
     if detrend:
         slope, intercept = _masked_trend(xg_raw, groups)
-        xg = xg_raw - _trend_line(slope, intercept, xg_raw.shape[-1], dtype)
+        xg = xg_raw - _trend_line_flat(slope, intercept, groups, dtype)
     else:
         xg = xg_raw
     fresh = cunnane_fit_padded(xg, groups, alpha=alpha, beta=beta, detrend=False)
-    pps = cunnane_transform_padded(fresh, xg, groups.counts, extrapolate, n_endpoints)
-    mapped = cunnane_inverse_padded(fit_cdf, pps, fit_counts, fit_valid, extrapolate, n_endpoints)
+    pps = cunnane_transform_padded(fresh, xg, groups, groups.counts, extrapolate, n_endpoints)
+    mapped = cunnane_inverse_padded(
+        fit_cdf, pps, groups, fit_counts, fit_valid_flat, extrapolate, n_endpoints
+    )
     if detrend:
-        mapped = mapped + _trend_line(slope, intercept, xg.shape[-1], dtype)
+        mapped = mapped + _trend_line_flat(slope, intercept, groups, dtype)
         # intercept-bias reset (quantile.py:145)
-        mapped = mapped - (intercept[..., None] - fit_cdf.trend_intercept[..., None])
+        G, L = groups.indices.shape
+        delta = (intercept - fit_cdf.trend_intercept)[..., None]
+        mapped = mapped - jnp.broadcast_to(delta, (*delta.shape[:-1], L)).reshape(
+            *mapped.shape[:-1], G * L
+        )
     return scatter_groups(mapped, groups, x.shape[-1])
