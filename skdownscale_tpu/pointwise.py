@@ -184,6 +184,9 @@ class PointWiseDownscaler:
                     f"X and y grids do not align: X has {px['flat'].shape[0]} time steps x "
                     f"{px['n_cells']} cells, y has {py['flat'].shape[0]} x {py['n_cells']}"
                 )
+            if not np.array_equal(np.asarray(px["index"]), np.asarray(py["index"])):
+                # reference estimators assert X/y index equality (base.py:17)
+                raise ValueError("X and y must share an identical time index")
 
         if _b.supports_batched(self._model):
             self._state = [
