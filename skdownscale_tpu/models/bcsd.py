@@ -364,9 +364,25 @@ class BcsdBase(SingleCellEstimator):
         self._fit_groups_ = fg
         self._fit_index_ = index
         self.y_climo_ = np.asarray(y_climo)
-        self.quantile_mappers_ = {
-            k: None for k in np.asarray(fg.keys).tolist()
-        }  # key inventory for API parity; CDFs live in ._state
+        # functional per-group mappers (reference: dict of fitted
+        # QuantileMapper objects, bcsd.py:59-67), viewing slices of ._state
+        from .quantile import CunnaneTransformer, QuantileMapper
+        from ..ops.cdf import Cdf
+
+        self.quantile_mappers_ = {}
+        vals2 = np.asarray(state.vals).reshape(G, L)
+        pp2 = np.asarray(state.pp).reshape(G, L)
+        for g, key in enumerate(np.asarray(fg.keys).tolist()):
+            c = int(fg.counts[g])
+            mapper = QuantileMapper(**dict(self.qm_kwargs or {}))
+            qt = CunnaneTransformer(
+                alpha=p["alpha"], beta=p["beta"],
+                extrapolate=p["extrapolate"], n_endpoints=p["n_endpoints"],
+            )
+            qt.cdf_ = Cdf(pp2[g, :c].copy(), vals2[g, :c].copy())
+            mapper.x_cdf_fit_ = qt
+            mapper._state = None  # views only; fitted via the batched core
+            self.quantile_mappers_[key] = mapper
         return self
 
     def predict(self, X):

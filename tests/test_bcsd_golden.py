@@ -92,3 +92,17 @@ def test_bcsd_multifeature_raises(rng):
     y = pd.DataFrame({"a": rng.normal(size=len(idx))}, index=idx)
     with pytest.raises(ValueError, match="1 feature"):
         BcsdTemperature().fit(X, y)
+
+
+def test_quantile_mappers_dict_functional(skref, monthly_data):
+    # the per-group mapper dict must hold usable fitted mappers whose
+    # stored CDFs equal the reference's (bcsd.py:59-67)
+    X, y, _ = monthly_data
+    ref = skref.BcsdTemperature().fit(X, y)
+    ours = BcsdTemperature().fit(X, y)
+    assert set(ours.quantile_mappers_) == set(ref.quantile_mappers_)
+    for key in ref.quantile_mappers_:
+        r = ref.quantile_mappers_[key].x_cdf_fit_.cdf_
+        o = ours.quantile_mappers_[key].x_cdf_fit_.cdf_
+        npt.assert_allclose(o.pp, r.pp, rtol=1e-12)
+        npt.assert_allclose(o.vals, r.vals, rtol=1e-9)
