@@ -12,9 +12,9 @@ a materialized (cells, G, L) tensor pads up to ~10x in HBM (the 1M-cell OOM
 of round 1).  All *materialized* group tensors here are therefore flat 2-D
 ``(cells, G*L)``; 3-D ``(cells, G, L)`` shapes exist only as reshape views
 between fused elementwise ops.  Per-group sorting — the one op that must
-materialize — runs as a single 2-D two-key ``lax.sort`` over (group_id,
-value) along the flat axis: groups stay contiguous and each sorts
-internally, with +inf pads falling to each group's tail.
+materialize — reshapes to 2-D ``(cells*G, L)`` rows (short O(L log L)
+sorts on a near-unpadded buffer), with +inf pads falling to each group's
+tail.
 
 Group structure (:class:`~skdownscale_tpu.utils.timeindex.PaddedGroups`) is
 *host* metadata baked into the compiled program, so every gather/slice is
@@ -90,16 +90,17 @@ def _padded_pp(groups: PaddedGroups, alpha: float, beta: float) -> np.ndarray:
     return pp.reshape(-1)
 
 
-def _group_ids(groups: PaddedGroups) -> np.ndarray:
-    G, L = groups.indices.shape
-    return np.repeat(np.arange(G, dtype=np.int32), L)
-
-
 def _sort_within_groups(vflat, groups: PaddedGroups):
-    """Sort each group's slots by value with ONE flat 2-D two-key sort."""
-    gid = jnp.broadcast_to(jnp.asarray(_group_ids(groups)), vflat.shape)
-    _, sorted_v = jax.lax.sort((gid, vflat), num_keys=2, is_stable=True, dimension=vflat.ndim - 1)
-    return sorted_v
+    """Sort each group's slots by value.
+
+    Runs as a 2-D (rows*groups, L) sort — short per-group sorts (O(L log L)
+    work) on a near-unpadded 2-D buffer; the (rows, G*L) <-> (rows*G, L)
+    reshapes stay 2-D.  (A flat two-key (group_id, value) sort avoids the
+    relayout copies but costs O(GL log GL) — ~5x slower for the 366-group
+    daily tables.)"""
+    G, L = groups.indices.shape
+    shape = vflat.shape
+    return jnp.sort(vflat.reshape(-1, L), axis=-1).reshape(shape)
 
 
 def _masked_trend(xg_flat, groups: PaddedGroups):
