@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interp import interp_rows
+from ..ops.ranks import self_quantiles
 from ..ops.regression import ols_1d
 from ..utils.timeindex import PaddedGroups
 
@@ -267,8 +268,16 @@ def grouped_qm_transform(
         xg = xg_raw - _trend_line_flat(slope, intercept, groups, dtype)
     else:
         xg = xg_raw
-    fresh = cunnane_fit_padded(xg, groups, alpha=alpha, beta=beta, detrend=False)
-    pps = cunnane_transform_padded(fresh, xg, groups, groups.counts, extrapolate, n_endpoints)
+    # fit_transform-on-self == rank plotting positions (no interp; see
+    # ops.ranks) — self-queries are never out of the fresh CDF's range, so
+    # the reference's tail extrapolation can't trigger here
+    G, L = groups.indices.shape
+    masked = jnp.where(jnp.asarray(groups.mask.reshape(-1)), xg, jnp.inf)
+    pp_flat = jnp.asarray(_padded_pp(groups, alpha, beta), x.dtype)
+    lead = xg.shape[:-1]
+    pps = self_quantiles(
+        masked.reshape(*lead, G, L), pp_flat.reshape(G, L)
+    ).reshape(*lead, G * L)
     mapped = cunnane_inverse_padded(
         fit_cdf, pps, groups, fit_counts, fit_valid_flat, extrapolate, n_endpoints
     )

@@ -37,6 +37,7 @@ import numpy as np
 
 from ..ops.cdf import Cdf, calc_extrapolated_cdf, plotting_positions
 from ..ops.interp import interp_rows, interp_rows_multi
+from ..ops.ranks import self_quantiles
 from ..ops.regression import ols_1d
 from .base import SingleCellEstimator, SingleCellTransformer, asarray_2d
 from .trend import LinearTrendTransformer, TrendState, trend_fit, trend_line
@@ -162,8 +163,12 @@ def qm_transform(
         x_to_cdf = x - trend_line(tr_new, x.shape[-1], x.dtype)
     else:
         x_to_cdf = x
-    fresh = cunnane_fit(x_to_cdf, alpha, beta)
-    x_quantiles = cunnane_transform(fresh, x_to_cdf, extrapolate, n_endpoints)
+    # fit_transform-on-self == rank plotting positions (quantile.py:138);
+    # self-queries are never out of range, so tails can't trigger
+    n = x.shape[-1]
+    x_quantiles = self_quantiles(
+        x_to_cdf, plotting_positions(n, alpha, beta, dtype=x.dtype)
+    )
     fit_cdf = Cdf(state.cdf_pp, state.cdf_vals)
     x_qmapped = cunnane_inverse(fit_cdf, x_quantiles, extrapolate, n_endpoints)
     if detrend:
