@@ -20,10 +20,19 @@ __all__ = ["knn"]
 
 
 def _knn_block(train, tn, queries, k: int, approx: bool = False):
-    # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
-    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
-    cross = queries @ train.T  # (m, n)
-    d2 = qn - 2.0 * cross + tn[None, :]
+    f = train.shape[-1]
+    if f <= 4:
+        # direct difference form: the expanded |q|^2 - 2qt + |t|^2 suffers
+        # catastrophic f32 cancellation for clustered climate values (~300 K),
+        # flipping near-tie neighbor sets; for few features the broadcasted
+        # form is exact and the matmul wasn't the bottleneck anyway
+        diff = queries[:, None, :] - train[None, :, :]  # (m, n, f)
+        d2 = jnp.sum(diff * diff, axis=-1)
+    else:
+        # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
+        qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
+        cross = queries @ train.T  # (m, n)
+        d2 = qn - 2.0 * cross + tn[None, :]
     d2 = jnp.maximum(d2, 0.0)
     if approx:
         # TPU-optimized approximate selection (recall ~0.95 default);
