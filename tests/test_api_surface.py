@@ -56,3 +56,30 @@ def test_constructor_signatures_match(skref):
         our_params = set(inspect.signature(our_obj.__init__).parameters) - {"self"}
         missing = ref_params - our_params
         assert not missing, f"{name} missing constructor params: {missing}"
+
+
+def test_sklearn_check_battery_collection():
+    """Mirror of the reference's sklearn-contract conformance
+    (test_pointwise_models.py:34-53): estimators carry the _skip_test tag
+    (as the reference's do) and survive the check-battery machinery."""
+    import skdownscale_tpu as sdt
+    from sklearn.utils._tags import get_tags
+    from sklearn.utils.estimator_checks import parametrize_with_checks
+
+    estimators = [
+        sdt.AnalogRegression(),
+        sdt.BcsdPrecipitation(),
+        sdt.BcsdTemperature(),
+        sdt.PureAnalog(),
+        sdt.PureRegression(),
+        sdt.ZScoreRegressor(),
+        sdt.QuantileMappingReressor(n_endpoints=2),
+        sdt.EquidistantCdfMatcher(kind="difference", n_endpoints=2),
+        sdt.EquidistantCdfMatcher(kind="ratio", n_endpoints=2),
+        sdt.LinearTrendTransformer(),
+        sdt.CunnaneTransformer(),
+        sdt.QuantileMapper(),
+    ]
+    for est in estimators:
+        assert get_tags(est)._skip_test  # opt-out, like the reference's tags
+    parametrize_with_checks(estimators)  # collection must not raise
