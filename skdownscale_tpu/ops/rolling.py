@@ -34,6 +34,8 @@ def _window_sum(x, window: int, center: bool):
         hi = 0
     total = jnp.zeros_like(x)
     for off in range(lo, hi + 1):
+        if abs(off) >= n:  # window wider than the series: no contribution
+            continue
         if off < 0:
             shifted = jnp.pad(x[..., : n + off], [(0, 0)] * (x.ndim - 1) + [(-off, 0)])
         elif off > 0:
