@@ -125,9 +125,52 @@ def bench_qdm(n_cells=16384, n_time=3650, n_iters=2):
     return n_cells / dt, dt
 
 
+def bench_gard(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
+    """Secondary benchmark: GARD AnalogRegression (per-step local models)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.gard import analog_regression_predict
+
+    rng = np.random.default_rng(0)
+    Xt = jax.device_put(rng.normal(10, 3, (n_cells, n_train, 2)).astype(np.float32))
+    yt = jax.device_put(
+        (0.2 * np.asarray(rng.normal(10, 3, (n_cells, n_train))) + 13).astype(np.float32)
+    )
+    Xq = jax.device_put(rng.normal(10, 3, (n_cells, n_queries, 2)).astype(np.float32))
+    fn = jax.jit(
+        jax.vmap(lambda xt, yy, xq: analog_regression_predict(xt, yy, xq, k=k, thresh=13.0))
+    )
+
+    def run():
+        return float(jnp.sum(fn(Xt, yt, Xq)))
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return n_cells / dt, dt
+
+
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     model = sys.argv[2] if len(sys.argv) > 2 else "bcsd"
+    if model == "gard":
+        cps, dt = bench_gard(n_cells=n_cells if len(sys.argv) > 1 else 2048)
+        print(
+            json.dumps(
+                {
+                    "metric": "gard_analog_regression_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (365 local logistic+linear fits per cell, k=200)",
+                    "vs_baseline": round(cps / 0.55, 1),  # measured reference rate
+                }
+            )
+        )
+        return
     if model == "qdm":
         cps, dt = bench_qdm(n_cells=n_cells)
         print(
