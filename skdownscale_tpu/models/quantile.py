@@ -265,16 +265,29 @@ def _extrapolate_1to1(state: QmrState, x, y_hat):
     return y_hat
 
 
+def _sort_with_positions(x):
+    """One payload sort -> (sorted x, original positions); replaces
+    argsort + take_along_axis (gathers are slow on TPU)."""
+    pos = jnp.broadcast_to(
+        jnp.arange(x.shape[-1], dtype=jnp.int32), x.shape
+    )
+    xs, sort_inds = jax.lax.sort((x, pos), num_keys=1, is_stable=True, dimension=x.ndim - 1)
+    return xs, sort_inds
+
+
 def _unsort(sorted_vals, sort_inds):
-    inv = jnp.argsort(sort_inds, axis=-1)
-    return jnp.take_along_axis(sorted_vals, inv, axis=-1)
+    """Restore original order: sort by the carried positions (one payload
+    sort; a permutation's ascending sort is its inverse)."""
+    _, out = jax.lax.sort(
+        (sort_inds, sorted_vals), num_keys=1, is_stable=True, dimension=sorted_vals.ndim - 1
+    )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("extrapolate", "n_endpoints"))
 def qmr_predict(state: QmrState, x, *, extrapolate=None, n_endpoints: int = 10):
     """``QuantileMappingReressor.predict`` (``quantile.py:221-275``)."""
-    sort_inds = jnp.argsort(x, axis=-1)
-    xs = jnp.take_along_axis(x, sort_inds, axis=-1)
+    xs, sort_inds = _sort_with_positions(x)
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
 
     pp = interp_rows(state.x_vals, state.x_pp, tc.vals)
@@ -304,8 +317,7 @@ def edcdfm_predict(
 ):
     """``EquidistantCdfMatcher.predict`` (``quantile.py:594-636``): preserve
     the per-quantile difference (or ratio) between test X and train X."""
-    sort_inds = jnp.argsort(x, axis=-1)
-    xs = jnp.take_along_axis(x, sort_inds, axis=-1)
+    xs, sort_inds = _sort_with_positions(x)
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
     if state.x_pp.shape == state.y_pp.shape:
         # equal train lengths -> identical plotting-position knots by
