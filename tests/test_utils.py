@@ -162,3 +162,18 @@ class TestScore:
         assert 0.9 < s <= 1.0
         g = sdt.PureRegression().fit(X, y)
         assert 0.9 < g.score(X, y) <= 1.0
+
+
+class TestMultihost:
+    def test_feed_cells_single_host(self, rng):
+        from skdownscale_tpu.parallel import cell_mesh, feed_cells, host_cell_slice
+
+        mesh = cell_mesh(jax.devices()[:8])
+        n = 13
+        local = rng.normal(size=(n, 4))
+        sl = host_cell_slice(n, mesh)
+        assert sl.start == 0 and sl.stop >= n  # single process owns everything
+        arr, n_out = feed_cells(local, n, mesh)
+        assert n_out == n
+        assert arr.shape[0] % 8 == 0
+        npt.assert_allclose(np.asarray(arr)[:n], local)
