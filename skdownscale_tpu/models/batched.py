@@ -36,6 +36,7 @@ class _Impl(NamedTuple):
     predict: Callable | None  # (model, state, index_fit, X, index) -> (C,T[,O])
     transform: Callable | None  # (model, state, index_fit, X, index, direction) -> (C,T)
     attrs: Callable | None  # (model, state) -> dict[str, np.ndarray (C,...)]
+    accepts: Callable | None = None  # (model) -> bool: this instance batchable?
 
 
 _REGISTRY: dict[type, _Impl] = {}
@@ -55,7 +56,8 @@ def _lookup(model) -> _Impl | None:
 
 
 def supports_batched(model) -> bool:
-    return _lookup(model) is not None
+    impl = _lookup(model)
+    return impl is not None and (impl.accepts is None or impl.accepts(model))
 
 
 def batched_fit(model, index_fit, X, y):
@@ -191,12 +193,33 @@ _REGISTRY[_q.EquidistantCdfMatcher] = _Impl(_qmr_fit, _edcdfm_predict, None, Non
 # ----------------------------------------------------------------------
 
 
+def _ta_trend_opts(model):
+    """(fit_intercept, positive) of the model's LinearTrendTransformer."""
+    tt = model.trend_transformer
+    return _t.LinearTrendTransformer._lr_options(tt)
+
+
+def _ta_accepts(model):
+    """Batched path requires a plain ``LinearTrendTransformer`` (with
+    supported ``lr_kwargs``) and a batchable inner qm_estimator; anything
+    else falls back to the wrapper's exact per-cell loop."""
+    tt = model.trend_transformer
+    if type(tt) is not _t.LinearTrendTransformer:
+        return False
+    try:
+        _ta_trend_opts(model)
+    except ValueError:
+        return False
+    return supports_batched(model.qm_estimator)
+
+
 def _ta_fit(model, index_fit, X, y):
     x = _single(X)
+    fit_intercept, positive = _ta_trend_opts(model)
     x_mean = jnp.mean(x, axis=1)
     y_mean = jnp.mean(y, axis=1)
-    x_tr = _t.trend_fit(x)
-    y_tr = _t.trend_fit(y)
+    x_tr = _t.trend_fit_opts(x, fit_intercept, positive)
+    y_tr = _t.trend_fit_opts(y, fit_intercept, positive)
     x_det = x - _t.trend_line(x_tr, x.shape[1], x.dtype)
     y_det = y - _t.trend_line(y_tr, y.shape[1], y.dtype)
     inner = batched_fit(model.qm_estimator, index_fit, x_det[..., None], y_det)
@@ -205,7 +228,8 @@ def _ta_fit(model, index_fit, X, y):
 
 def _ta_predict(model, state, index_fit, X, index):
     x = _single(X)
-    tr = _t.trend_fit(x)
+    fit_intercept, positive = _ta_trend_opts(model)
+    tr = _t.trend_fit_opts(x, fit_intercept, positive)
     line = _t.trend_line(tr, x.shape[1], x.dtype)
     x_det = x - line
     y_hat = batched_predict(model.qm_estimator, state["inner"], index_fit, x_det[..., None], index)
@@ -214,7 +238,9 @@ def _ta_predict(model, state, index_fit, X, index):
     return y_hat + trendline + delta[:, None]
 
 
-_REGISTRY[_q.TrendAwareQuantileMappingRegressor] = _Impl(_ta_fit, _ta_predict, None, None)
+_REGISTRY[_q.TrendAwareQuantileMappingRegressor] = _Impl(
+    _ta_fit, _ta_predict, None, None, _ta_accepts
+)
 
 
 # ----------------------------------------------------------------------

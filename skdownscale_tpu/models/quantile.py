@@ -28,6 +28,7 @@ Known reference quirks handled deliberately:
 
 from __future__ import annotations
 
+import copy
 import functools
 from typing import NamedTuple
 
@@ -561,10 +562,11 @@ class TrendAwareQuantileMappingRegressor(SingleCellEstimator):
         self._X_mean_fit = Xa.mean(axis=0)
         self._y_mean_fit = ya.mean(axis=0)
 
-        y_trend = LinearTrendTransformer()
-        y_detrend = y_trend.fit(ya).transform(ya)
-        X_trend = LinearTrendTransformer()
-        x_detrend = X_trend.fit(Xa).transform(Xa)
+        # deep-copy the user-supplied transformer per series (quantile.py:676-680)
+        y_trend = copy.deepcopy(self.trend_transformer)
+        y_detrend = asarray_2d(y_trend.fit(ya).transform(ya))
+        X_trend = copy.deepcopy(self.trend_transformer)
+        x_detrend = asarray_2d(X_trend.fit(Xa).transform(Xa))
 
         self.qm_estimator.fit(x_detrend, y_detrend)
         return self
@@ -572,8 +574,8 @@ class TrendAwareQuantileMappingRegressor(SingleCellEstimator):
     def predict(self, X):
         self._check_is_fitted()
         Xa = asarray_2d(X)
-        X_trend = LinearTrendTransformer()
-        x_detrend = X_trend.fit(Xa).transform(Xa)
+        X_trend = copy.deepcopy(self.trend_transformer)  # quantile.py:698-699
+        x_detrend = asarray_2d(X_trend.fit(Xa).transform(Xa))
 
         y_hat = np.asarray(self.qm_estimator.predict(x_detrend)).reshape(-1, 1)
 

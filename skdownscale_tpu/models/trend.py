@@ -18,7 +18,15 @@ import numpy as np
 from ..ops.regression import ols_1d, ols_predict_1d
 from .base import SingleCellTransformer, asarray_2d
 
-__all__ = ["TrendState", "trend_fit", "trend_line", "trend_transform", "trend_inverse", "LinearTrendTransformer"]
+__all__ = [
+    "TrendState",
+    "trend_fit",
+    "trend_fit_opts",
+    "trend_line",
+    "trend_transform",
+    "trend_inverse",
+    "LinearTrendTransformer",
+]
 
 
 class TrendState(NamedTuple):
@@ -30,6 +38,27 @@ def trend_fit(x) -> TrendState:
     """Fit ``x ~ a + b*arange(n)`` over the last axis. ``x``: (..., n)."""
     t = jnp.arange(x.shape[-1], dtype=x.dtype)
     slope, intercept = ols_1d(t, x)
+    return TrendState(slope, intercept)
+
+
+def trend_fit_opts(x, fit_intercept: bool = True, positive: bool = False) -> TrendState:
+    """``trend_fit`` honoring sklearn ``LinearRegression(fit_intercept,
+    positive)`` semantics (the reference forwards ``lr_kwargs`` to sklearn,
+    ``trend.py:48-51``).  ``positive`` follows sklearn's NNLS-on-centered-data
+    formulation, which for a single regressor reduces to clamping the OLS
+    slope at zero and re-solving the intercept."""
+    t = jnp.arange(x.shape[-1], dtype=x.dtype)
+    if fit_intercept:
+        slope, intercept = ols_1d(t, x)
+        if positive:
+            clamped = slope < 0
+            slope = jnp.where(clamped, 0.0, slope)
+            intercept = jnp.where(clamped, jnp.mean(x, axis=-1), intercept)
+    else:
+        slope = jnp.sum(t * x, axis=-1) / jnp.sum(t * t)
+        if positive:
+            slope = jnp.maximum(slope, 0.0)
+        intercept = jnp.zeros_like(slope)
     return TrendState(slope, intercept)
 
 
@@ -54,7 +83,9 @@ class LinearTrendTransformer(SingleCellTransformer):
     Parameters
     ----------
     lr_kwargs : dict, optional
-        Accepted for API parity; only the default OLS behavior is supported.
+        Forwarded sklearn ``LinearRegression`` options (``trend.py:48-51``).
+        ``fit_intercept`` and ``positive`` are honored; ``copy_X`` / ``n_jobs``
+        are accepted no-ops; anything else raises.
     """
 
     _fit_attributes = ["lr_model_"]
@@ -62,10 +93,23 @@ class LinearTrendTransformer(SingleCellTransformer):
     def __init__(self, lr_kwargs=None):
         self.lr_kwargs = lr_kwargs
 
+    def _lr_options(self):
+        kw = dict(self.lr_kwargs or {})
+        fit_intercept = bool(kw.pop("fit_intercept", True))
+        positive = bool(kw.pop("positive", False))
+        kw.pop("copy_X", None)
+        kw.pop("n_jobs", None)
+        if kw:
+            raise ValueError(f"unsupported lr_kwargs: {sorted(kw)}")
+        return fit_intercept, positive
+
     def fit(self, X, y=None):
         X = self._validate_data(X)
         vals = asarray_2d(X)  # (n, k)
-        state = jax.jit(trend_fit)(jnp.asarray(vals.T))
+        fit_intercept, positive = self._lr_options()
+        state = jax.jit(trend_fit_opts, static_argnums=(1, 2))(
+            jnp.asarray(vals.T), fit_intercept, positive
+        )
         self.lr_model_ = _FittedLinearModel(
             coef_=np.asarray(state.slope).reshape(-1, 1),
             intercept_=np.asarray(state.intercept),

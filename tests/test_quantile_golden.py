@@ -202,6 +202,85 @@ def test_trend_aware_golden(skref, rng):
     )
 
 
+@pytest.mark.parametrize(
+    "lr_kwargs", [{"fit_intercept": False}, {"positive": True}, {"fit_intercept": False, "positive": True}]
+)
+def test_trend_aware_custom_transformer_golden(skref, rng, lr_kwargs):
+    """A user-supplied, non-default ``trend_transformer`` must be honored
+    (deep-copied per series, ref quantile.py:676-680, 698-699).
+
+    The reference's ``__init__`` has no else-branch, so a passed transformer
+    is silently dropped and fit crashes with AttributeError; we assign the
+    attribute post-construction to exercise the reference's intended
+    fit/predict semantics as the golden target.
+    """
+    import pandas as pd
+
+    idx = pd.date_range("1980-01-01", periods=400, freq="D")
+    X = pd.DataFrame({"v": make_series(rng, 400, trend=0.02)}, index=idx)
+    y = pd.DataFrame({"v": make_series(rng, 400, loc=12, trend=0.015)}, index=idx)
+    Xq = pd.DataFrame({"v": make_series(rng, 300, loc=10.5, trend=0.03)}, index=idx[:300])
+
+    ref = skref.TrendAwareQuantileMappingRegressor(
+        qm_estimator=skref.QuantileMappingReressor(extrapolate="1to1")
+    )
+    from skdownscale.pointwise_models.trend import LinearTrendTransformer as RefLTT
+
+    ref.trend_transformer = RefLTT(lr_kwargs=dict(lr_kwargs))
+    ref.fit(X, y)
+
+    ours = sdt.TrendAwareQuantileMappingRegressor(
+        qm_estimator=sdt.QuantileMappingReressor(extrapolate="1to1"),
+        trend_transformer=sdt.LinearTrendTransformer(lr_kwargs=dict(lr_kwargs)),
+    ).fit(X, y)
+    npt.assert_allclose(
+        np.asarray(ours.predict(Xq)), np.asarray(ref.predict(Xq)), rtol=1e-7, atol=1e-8
+    )
+
+
+def test_linear_trend_lr_kwargs_golden(skref, rng):
+    """LinearTrendTransformer honors fit_intercept/positive (sklearn parity)."""
+    from skdownscale.pointwise_models.trend import LinearTrendTransformer as RefLTT
+
+    # include a decreasing series so positive=True actually clamps
+    for trend in (0.05, -0.05):
+        vals = make_series(rng, 200, trend=trend).reshape(-1, 1)
+        for kw in ({"fit_intercept": False}, {"positive": True}, {"fit_intercept": False, "positive": True}):
+            ref = RefLTT(lr_kwargs=dict(kw)).fit(vals)
+            ours = sdt.LinearTrendTransformer(lr_kwargs=dict(kw)).fit(vals)
+            npt.assert_allclose(ours.lr_model_.coef_, ref.lr_model_.coef_, rtol=1e-6, atol=1e-9)
+            npt.assert_allclose(
+                ours.lr_model_.intercept_, ref.lr_model_.intercept_, rtol=1e-6, atol=1e-8
+            )
+            npt.assert_allclose(
+                np.asarray(ours.transform(vals)), np.asarray(ref.transform(vals)), rtol=1e-6, atol=1e-7
+            )
+
+
+def test_trend_aware_unsupported_transformer_falls_back():
+    """A transformer the batched path can't express must route the grid
+    runtime through the per-cell fallback, not silently use the default."""
+    from skdownscale_tpu.models import batched as b
+
+    ta_default = sdt.TrendAwareQuantileMappingRegressor(
+        qm_estimator=sdt.QuantileMappingReressor()
+    )
+    assert b.supports_batched(ta_default)
+    ta_kw = sdt.TrendAwareQuantileMappingRegressor(
+        qm_estimator=sdt.QuantileMappingReressor(),
+        trend_transformer=sdt.LinearTrendTransformer(lr_kwargs={"fit_intercept": False}),
+    )
+    assert b.supports_batched(ta_kw)  # supported kwargs stay batched
+
+    class WeirdTrend(sdt.LinearTrendTransformer):
+        pass
+
+    ta_weird = sdt.TrendAwareQuantileMappingRegressor(
+        qm_estimator=sdt.QuantileMappingReressor(), trend_transformer=WeirdTrend()
+    )
+    assert not b.supports_batched(ta_weird)
+
+
 def test_sklearn_clone_compat():
     from sklearn.base import clone
 
