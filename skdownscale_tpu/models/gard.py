@@ -260,6 +260,7 @@ class AnalogRegression(AnalogBase):
 
     def predict(self, X):
         self._check_is_fitted()
+        X = self._validate_data(X, reset=False)
         Xa = asarray_2d(X)
         out = analog_regression_predict(
             jnp.asarray(self.X_),
@@ -296,6 +297,7 @@ class PureAnalog(AnalogBase):
 
     def predict(self, X):
         self._check_is_fitted()
+        X = self._validate_data(X, reset=False)
         Xa = asarray_2d(X)
         m = len(Xa)
 
@@ -381,6 +383,7 @@ class PureRegression(SingleCellEstimator):
 
     def predict(self, X):
         self._check_is_fitted()
+        X = self._validate_data(X, reset=False)
         Xa = asarray_2d(X)
         state = PureRegressionState(*[jnp.asarray(a) for a in self._state])
         out = pure_regression_predict(state, jnp.asarray(Xa))

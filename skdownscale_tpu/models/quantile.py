@@ -458,12 +458,14 @@ class QuantileMappingReressor(SingleCellEstimator):
     _allow_length_mismatch = True
 
     def __init__(self, extrapolate=None, n_endpoints=10):
+        # unlike the reference (quantile.py:188-189) params are validated at
+        # fit time, per sklearn convention (no errors in __init__/set_params)
         self.extrapolate = extrapolate
         self.n_endpoints = n_endpoints
-        if self.n_endpoints < 2:
-            raise ValueError("Invalid number of n_endpoints, must be >= 2")
 
     def _min_samples_check(self, arr, name):
+        if self.n_endpoints < 2:
+            raise ValueError("Invalid number of n_endpoints, must be >= 2")
         need = 2 * self.n_endpoints + 1
         if arr.shape[0] < need:
             raise ValueError(
@@ -472,9 +474,17 @@ class QuantileMappingReressor(SingleCellEstimator):
             )
 
     def fit(self, X, y, **kwargs):
+        if y is None:
+            raise ValueError(
+                f"This {type(self).__name__} estimator requires y to be passed, "
+                "but the target y is None"
+            )
         _check_extrapolate(self.extrapolate)
         Xa = asarray_2d(X)
         ya = asarray_2d(y)
+        # reference check_array(y, ...) rejects non-finite targets (quantile.py:208-211)
+        if np.isnan(ya).any():
+            raise ValueError("Input y contains NaN.")
         self._min_samples_check(Xa, "X")
         self._min_samples_check(ya, "y")
         if Xa.shape[1] > 1:
@@ -518,15 +528,18 @@ class EquidistantCdfMatcher(QuantileMappingReressor):
     _fit_attributes = ["_X_cdf", "_y_cdf"]
 
     def __init__(self, kind="difference", extrapolate=None, n_endpoints=10, max_ratio=None):
-        if kind not in ["difference", "ratio"]:
-            raise NotImplementedError("kind must be either difference or ratio")
+        # unlike the reference (quantile.py:582-584) params are validated at
+        # fit time, per sklearn convention (no errors in __init__/set_params)
         self.kind = kind
         self.extrapolate = extrapolate
         self.n_endpoints = n_endpoints
         # MACA seems to have a max ratio for precip at 5.0 (quantile.py:588)
         self.max_ratio = max_ratio
-        if self.n_endpoints < 2:
-            raise ValueError("Invalid number of n_endpoints, must be >= 2")
+
+    def fit(self, X, y, **kwargs):
+        if self.kind not in ["difference", "ratio"]:
+            raise NotImplementedError("kind must be either difference or ratio")
+        return super().fit(X, y, **kwargs)
 
     def predict(self, X, **kwargs):
         self._check_is_fitted()

@@ -129,8 +129,7 @@ class ZScoreRegressor(SingleCellEstimator):
     _timestep = "MS"
 
     def __init__(self, window_width: int = 31):
-        if window_width <= 0:
-            raise ValueError(f"window_width must be positive, got {window_width}")
+        # validated at fit time, per sklearn convention (no errors in __init__)
         self.window_width = window_width
 
     def _index(self, X, n):
@@ -144,6 +143,8 @@ class ZScoreRegressor(SingleCellEstimator):
         return pd.date_range(start="1950", periods=n, freq=self._timestep)
 
     def fit(self, X, y):
+        if self.window_width <= 0:
+            raise ValueError(f"window_width must be positive, got {self.window_width}")
         X, y = self._validate_data(X, y)
         Xa, ya = asarray_2d(X), asarray_2d(y)
         if Xa.shape[1] != 1:

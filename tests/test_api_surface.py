@@ -58,13 +58,13 @@ def test_constructor_signatures_match(skref):
         assert not missing, f"{name} missing constructor params: {missing}"
 
 
-def test_sklearn_check_battery_collection():
-    """Mirror of the reference's sklearn-contract conformance
-    (test_pointwise_models.py:34-53): estimators carry the _skip_test tag
-    (as the reference's do) and survive the check-battery machinery."""
+def test_sklearn_skip_tag_parity():
+    """The shipped estimators carry the reference-style blanket ``_skip_test``
+    tag (so ``check_estimator`` on user code behaves like the reference's).
+    The battery itself is EXECUTED for real in tests/test_sklearn_checks.py,
+    which bypasses this tag and xfails only named incompatible checks."""
     import skdownscale_tpu as sdt
     from sklearn.utils._tags import get_tags
-    from sklearn.utils.estimator_checks import parametrize_with_checks
 
     estimators = [
         sdt.AnalogRegression(),
@@ -82,4 +82,3 @@ def test_sklearn_check_battery_collection():
     ]
     for est in estimators:
         assert get_tags(est)._skip_test  # opt-out, like the reference's tags
-    parametrize_with_checks(estimators)  # collection must not raise

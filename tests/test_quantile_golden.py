@@ -131,8 +131,9 @@ def test_qmr_min_samples(rng):
     y = make_series(rng, 10)
     with pytest.raises(ValueError):
         sdt.QuantileMappingReressor(n_endpoints=10).fit(X, y)
-    with pytest.raises(ValueError):
-        sdt.QuantileMappingReressor(n_endpoints=1)
+    # param validation happens at fit time (sklearn convention), not __init__
+    with pytest.raises(ValueError, match="n_endpoints"):
+        sdt.QuantileMappingReressor(n_endpoints=1).fit(X, y)
 
 
 @pytest.mark.parametrize("kind", ["difference", "ratio"])

@@ -106,9 +106,11 @@ def test_predict_rolling_matches_pandas(daily):
     )
 
 
-def test_window_width_validation():
+def test_window_width_validation(daily):
+    # param validation happens at fit time (sklearn convention), not __init__
+    X, y = daily
     with pytest.raises(ValueError, match="positive"):
-        ZScoreRegressor(window_width=0)
+        ZScoreRegressor(window_width=0).fit(X, y)
 
 
 def test_multifeature_raises(daily, rng):
