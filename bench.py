@@ -61,23 +61,27 @@ def _example(n_cells, n_time, seed=0, dtype=np.float32):
     return index, x, y
 
 
-def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144):
+def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144, streaming=None):
     """Two-stage (fit jit + predict jit) — the framework's production shape.
 
-    Cells beyond ``cell_chunk`` stream through in chunks (XLA's layout
-    padding on the (C, groups, group_len) state tensors caps a single pass
-    near 256k cells on one 16 GB chip).
+    Above 256k cells the dense formulation's materialized (C, groups,
+    group_len) temporaries exceed one 16 GB chip; instead of host-side cell
+    chunking, large runs switch to the *streaming* formulation (lazy fit +
+    group-chunked lax.scan predict, models/streaming.py): one device pass at
+    1M+ cells.  Pass ``streaming=False`` to force the old chunked path.
 
     Note: fusing fit+predict into one jit triggers an XLA mega-fusion that
     compiles ~20x slower and runs ~40x slower; keep the stages separate.
     """
-    if n_cells > cell_chunk:
+    if streaming is None:
+        streaming = n_cells > cell_chunk
+    if n_cells > cell_chunk and not streaming:
         total = 0.0
         done = 0
         total_bytes = 0.0
         while done < n_cells:
             c = min(cell_chunk, n_cells - done)
-            cps, dt, nbytes = bench_tpu(c, n_time, n_iters=1, cell_chunk=cell_chunk)
+            cps, dt, nbytes = bench_tpu(c, n_time, n_iters=1, cell_chunk=cell_chunk, streaming=False)
             total += dt
             total_bytes += nbytes
             done += c
@@ -85,15 +89,25 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144):
     import jax
     import jax.numpy as jnp
 
-    from skdownscale_tpu.models.bcsd import BcsdTemperature, _jit_fit, _jit_predict
+    from skdownscale_tpu.models.bcsd import (
+        BcsdTemperature,
+        _jit_fit,
+        _jit_fit_lazy,
+        _jit_predict,
+        _jit_predict_stream,
+    )
 
     index, x, y = _example(n_cells, n_time)
     model = BcsdTemperature(return_anoms=False)
     fg = model._fit_groups(index)
     plan = model._predict_plan(fg, index)
 
-    fitj = _jit_fit(fg, True, 0.4, 0.4, False)
-    predj = _jit_predict(plan, "temperature", False, 0.4, 0.4, "both", 10, False)
+    if streaming:
+        fitj = _jit_fit_lazy(fg, True)
+        predj = _jit_predict_stream(plan, "temperature", False, 0.4, 0.4, "both", 10, False, 3)
+    else:
+        fitj = _jit_fit(fg, True, 0.4, 0.4, False)
+        predj = _jit_predict(plan, "temperature", False, 0.4, 0.4, "both", 10, False)
 
     xd = jax.device_put(x)
     yd = jax.device_put(y)
@@ -106,6 +120,52 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144):
         return float(jnp.sum(out))
 
     run()  # compile + warm
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    state = fitj(xd, yd)
+    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile()) + _bytes_accessed(
+        predj.lower(state, xd).compile()
+    )
+    return n_cells / dt, dt, nbytes
+
+
+def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8):
+    """Daily ('daily_nasa-nex') BCSD fit+predict — the 366 ±15-day DOY-window
+    flavor (BASELINE.md config 5).  Runs the streaming formulation: lazy fit
+    (climatology matmuls) + group-chunked lax.scan predict, single device
+    pass (the dense path capped near ~3k cells/pass)."""
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.bcsd import BcsdTemperature, _jit_fit_lazy, _jit_predict_stream
+
+    rng = np.random.default_rng(0)
+    index = pd.date_range("1990-01-01", periods=n_years * 365 + 5, freq="D")
+    n_time = len(index)
+    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25)
+    x = (283.0 + seas[None, :] + rng.normal(0, 2, (n_cells, n_time)) + 1.5).astype(np.float32)
+    y = (282.0 + seas[None, :] + rng.normal(0, 1.8, (n_cells, n_time))).astype(np.float32)
+
+    model = BcsdTemperature(time_grouper="daily_nasa-nex", return_anoms=False)
+    fg = model._fit_groups(index)
+    plan = model._predict_plan(fg, index)
+    fitj = _jit_fit_lazy(fg, True)
+    predj = _jit_predict_stream(
+        plan, "temperature", False, 0.4, 0.4, "both", 10, False, group_chunk
+    )
+    xd, yd = jax.device_put(x), jax.device_put(y)
+
+    def run():
+        state = fitj(xd, yd)
+        out = predj(state, xd)
+        return float(jnp.sum(out))
+
+    run()
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
@@ -166,6 +226,41 @@ def bench_qdm(n_cells=16384, n_time=3650, n_iters=2):
     return n_cells / dt, dt
 
 
+def bench_pure_analog(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
+    """BASELINE config 4a: PureAnalog mean_analogs, k=200 — runs the fused
+    Pallas kernel on TPU (distances + exact rank-k selection + stats, all in
+    VMEM; VERDICT r1 #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.gard import pure_analog_predict_batched
+
+    rng = np.random.default_rng(0)
+    Xt = jax.device_put(rng.normal(10, 3, (n_cells, n_train, 2)).astype(np.float32))
+    yt = jax.device_put(
+        (0.2 * np.asarray(rng.normal(10, 3, (n_cells, n_train))) + 13).astype(np.float32)
+    )
+    Xq = jax.device_put(rng.normal(10, 3, (n_cells, n_queries, 2)).astype(np.float32))
+    rand = jnp.zeros((n_cells, n_queries), jnp.int32)
+    fn = jax.jit(
+        lambda a, b, c, r: pure_analog_predict_batched(
+            a, b, c, r, k=k, kind="mean_analogs", thresh=13.0
+        )
+    )
+
+    def run():
+        return float(jnp.sum(jnp.nan_to_num(fn(Xt, yt, Xq, rand))))
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return n_cells / dt, dt
+
+
 def bench_gard(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
     """Secondary benchmark: GARD AnalogRegression (per-step local models)."""
     import jax
@@ -208,6 +303,36 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (365 local logistic+linear fits per cell, k=200)",
                     "vs_baseline": round(cps / 0.55, 1),  # measured reference rate
+                }
+            )
+        )
+        return
+    if model == "daily":
+        cps, dt, nbytes = bench_daily(n_cells=n_cells if len(sys.argv) > 1 else 32768)
+        bw = _device_peak_bw()
+        hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
+        print(
+            json.dumps(
+                {
+                    "metric": "daily_bcsd_fit_predict_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (20y daily_nasa-nex BCSD fit+predict, single pass)",
+                    "vs_baseline": round(cps / 0.5, 1),  # measured reference ~0.5 cells/s
+                    "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                    "hbm_util": None if hbm_util is None else round(hbm_util, 3),
+                }
+            )
+        )
+        return
+    if model == "analog":
+        cps, dt = bench_pure_analog(n_cells=n_cells if len(sys.argv) > 1 else 2048)
+        print(
+            json.dumps(
+                {
+                    "metric": "pure_analog_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (PureAnalog mean_analogs k=200, 3650 train x 365 queries)",
+                    "vs_baseline": round(cps / 20.0, 1),  # measured reference ~20 cells/s
                 }
             )
         )

@@ -249,10 +249,15 @@ _REGISTRY[_q.TrendAwareQuantileMappingRegressor] = _Impl(
 
 
 def _bcsd_fit(model, index_fit, X, y):
-    # batch-native core: group tables are host constants, no outer vmap
+    # batch-native core: group tables are host constants, no outer vmap.
+    # The daily flavor defers its per-group CDFs (27x window expansion) to
+    # a streaming predict — see models.streaming; monthly stays dense.
     fg = model._fit_groups(index_fit)
     p = model._qm_params()
-    fit = _bcsd._jit_fit(fg, model._with_x_climo, p["alpha"], p["beta"], p["detrend"])
+    if model._timestep_kind == "daily":
+        fit = _bcsd._jit_fit_lazy(fg, model._with_x_climo)
+    else:
+        fit = _bcsd._jit_fit(fg, model._with_x_climo, p["alpha"], p["beta"], p["detrend"])
     return fit(_single(X), y)
 
 
@@ -262,27 +267,42 @@ def _bcsd_predict(model, state, index_fit, X, index):
     if model.return_anoms and plan.anom_labels is None:
         raise ValueError("daily BCSD with return_anoms=True is unsupported (reference crashes)")
     p = model._qm_params()
-    pred = _bcsd._jit_predict(
-        plan,
-        "temperature" if model._with_x_climo else "precipitation",
-        bool(model.return_anoms),
-        p["alpha"],
-        p["beta"],
-        p["extrapolate"],
-        p["n_endpoints"],
-        p["detrend"],
-    )
+    variable = "temperature" if model._with_x_climo else "precipitation"
+    if isinstance(state, _bcsd.BcsdLazyState):
+        pred = _bcsd._jit_predict_stream(
+            plan,
+            variable,
+            bool(model.return_anoms),
+            p["alpha"],
+            p["beta"],
+            p["extrapolate"],
+            p["n_endpoints"],
+            p["detrend"],
+            8,
+        )
+    else:
+        pred = _bcsd._jit_predict(
+            plan,
+            variable,
+            bool(model.return_anoms),
+            p["alpha"],
+            p["beta"],
+            p["extrapolate"],
+            p["n_endpoints"],
+            p["detrend"],
+        )
     return pred(state, _single(X))
 
 
-_REGISTRY[_bcsd.BcsdBase] = _Impl(
-    _bcsd_fit,
-    _bcsd_predict,
-    None,
-    lambda model, state: {
-        "y_climo_": np.asarray(state.aux.reshape(*state.aux.shape[:-1], 4, -1)[..., 2, :])
-    },
-)
+def _bcsd_attrs(model, state):
+    if isinstance(state, _bcsd.BcsdLazyState):
+        climo = state.aux.reshape(*state.aux.shape[:-1], 2, -1)[..., 0, :]
+    else:
+        climo = state.aux.reshape(*state.aux.shape[:-1], 4, -1)[..., 2, :]
+    return {"y_climo_": np.asarray(climo)}
+
+
+_REGISTRY[_bcsd.BcsdBase] = _Impl(_bcsd_fit, _bcsd_predict, None, _bcsd_attrs)
 
 
 # ----------------------------------------------------------------------
@@ -343,13 +363,12 @@ def _pure_analog_predict(model, state, index_fit, X, index):
         k, kind = model.k_, model.kind
     if kind == "sample_analogs":
         rng = np.random.default_rng(model.random_state)
-        rand = jnp.asarray(rng.integers(0, k, (X.shape[0], m)))
+        rand = jnp.asarray(rng.integers(0, k, (X.shape[0], m)), dtype=jnp.int32)
     else:
         rand = jnp.zeros((X.shape[0], m), dtype=jnp.int32)
-    fn = lambda xt, yt, xq, r: _gard.pure_analog_predict(
-        xt, yt, xq, r, k=k, kind=kind, thresh=model.thresh
+    return _gard.pure_analog_predict_batched(
+        state.X_train, state.y_train, X, rand, k=k, kind=kind, thresh=model.thresh
     )
-    return jax.vmap(fn)(state.X_train, state.y_train, X, rand)
 
 
 _REGISTRY[_gard.PureAnalog] = _Impl(_gard_fit, _pure_analog_predict, None,

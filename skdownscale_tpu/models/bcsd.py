@@ -44,8 +44,17 @@ from .grouped import (
     grouped_qm_transform,
     scatter_groups,
 )
+from .streaming import build_stream_tables, streaming_qm_transform
 
-__all__ = ["BcsdTemperature", "BcsdPrecipitation", "bcsd_fit", "bcsd_predict"]
+__all__ = [
+    "BcsdTemperature",
+    "BcsdPrecipitation",
+    "bcsd_fit",
+    "bcsd_predict",
+    "BcsdLazyState",
+    "bcsd_fit_lazy",
+    "bcsd_predict_streaming",
+]
 
 
 # ----------------------------------------------------------------------
@@ -235,6 +244,164 @@ def bcsd_predict(
         if return_anoms:
             out = out / y_climo[..., anom]  # ratio anomalies (bcsd.py:172-185)
     return out
+
+
+# ----------------------------------------------------------------------
+# streaming (group-chunked) variant — raises the daily-flavor cells/pass
+# ceiling ~20x and removes the monthly 262k-cell predict chunking
+# ----------------------------------------------------------------------
+
+
+class BcsdLazyState(NamedTuple):
+    """Deferred BCSD fit state: raw target series + per-group climatologies.
+
+    The daily flavor's 366 overlapping ±15-day windows expand the training
+    series 27x, so materializing every per-group CDF at fit time (as
+    :class:`BcsdState` does) caps a single pass near ~3k cells.  Instead the
+    fit stores the raw series; predict computes only the fit rows its
+    transform partition actually consults (31 of 366 in the daily flavor —
+    the reference's day-of-month/day-of-year key mixing, ``bcsd.py:51-53``),
+    chunk by chunk.
+    """
+
+    y: jnp.ndarray  # (..., T_fit) raw target series
+    aux: jnp.ndarray  # (..., 2*G): [y_climo, x_climo]
+
+    def unpack(self, G: int):
+        a = self.aux.reshape(*self.aux.shape[:-1], 2, G)
+        return a[..., 0, :], a[..., 1, :]  # y_climo, x_climo
+
+
+def _membership_matrix(groups: PaddedGroups, n: int, dtype=np.float64) -> np.ndarray:
+    """Host (n, G) mean-pooling matrix: column g averages group g's members
+    (column sums to 1; overlapping groups allowed)."""
+    G, L = groups.indices.shape
+    M = np.zeros((n, G), dtype)
+    inv = 1.0 / np.maximum(groups.counts, 1)
+    for g in range(G):
+        np.add.at(M[:, g], groups.indices[g][groups.mask[g]], inv[g])
+    return M
+
+
+def bcsd_fit_lazy(
+    x, y, fit_groups: PaddedGroups, *, with_x_climo: bool = True
+) -> BcsdLazyState:
+    """Deferred-CDF BCSD fit: only the per-group climatologies
+    (``bcsd.py:219-223``) are computed — as one mean-pooling matmul instead
+    of the 27x window gather — and the raw target is carried as state."""
+    M = jnp.asarray(_membership_matrix(fit_groups, y.shape[-1]), y.dtype)
+    y_climo = jnp.matmul(y, M, precision=jax.lax.Precision.HIGHEST)
+    if with_x_climo:
+        x_climo = jnp.matmul(x, M, precision=jax.lax.Precision.HIGHEST)
+    else:
+        x_climo = jnp.zeros_like(y_climo)
+    aux = jnp.stack([y_climo, x_climo], axis=-2)
+    return BcsdLazyState(y, aux.reshape(*y_climo.shape[:-1], -1))
+
+
+def bcsd_predict_streaming(
+    state,
+    x,
+    plan: _PredictPlan,
+    *,
+    variable: str = "temperature",
+    return_anoms: bool = True,
+    alpha: float = 0.4,
+    beta: float = 0.4,
+    extrapolate="both",
+    n_endpoints: int = 10,
+    detrend: bool = False,
+    rolling_window: int = 9,
+    group_chunk: int = 8,
+):
+    """``bcsd_predict`` with the grouped QM transform run as a ``lax.scan``
+    over transform-group chunks (see :mod:`.streaming`).  Accepts either a
+    dense :class:`BcsdState` (pre-sorted group CDFs) or a
+    :class:`BcsdLazyState` (windows gathered+sorted in-chunk)."""
+    n = x.shape[-1]
+    G, L = plan.fit.indices.shape
+    lazy = isinstance(state, BcsdLazyState)
+    if lazy:
+        y_climo, x_climo = state.unpack(G)
+        source, presorted, state_trend = state.y, False, None
+    else:
+        qm, y_climo, x_climo = state.unpack(G, L)
+        source, presorted = qm.vals, True
+        state_trend = (qm.trend_slope, qm.trend_intercept)
+
+    if variable == "temperature":
+        M, Lr = plan.rolling.indices.shape
+        xg = gather_groups(x, plan.rolling, fill=0.0)
+        lead = xg.shape[:-1]
+        rmask2 = jnp.asarray(plan.rolling.mask)
+        rolled_g = rolling_mean(
+            xg.reshape(*lead, M, Lr), rolling_window, center=True, min_periods=1, valid=rmask2
+        )
+        rolled_flat = jnp.where(rmask2, rolled_g, 0.0).reshape(*lead, M * Lr)
+        rolled = scatter_groups(rolled_flat, plan.rolling, n)
+        x_shift = rolled - x_climo[..., plan.shift_labels]
+        x_no_shift = x - x_shift
+    else:
+        x_shift = jnp.zeros_like(x)
+        x_no_shift = x
+
+    tables = build_stream_tables(
+        plan.fit,
+        plan.transform,
+        plan.transform_to_fit,
+        alpha=alpha,
+        beta=beta,
+        n_endpoints=n_endpoints,
+        group_chunk=group_chunk,
+        source="state" if presorted else "raw",
+    )
+    xqm = streaming_qm_transform(
+        source,
+        x_no_shift,
+        tables,
+        n,
+        presorted=presorted,
+        extrapolate=extrapolate,
+        detrend=detrend,
+        state_trend=state_trend,
+    )
+
+    anom = plan.anom_labels if plan.anom_labels is not None else plan.shift_labels
+    if variable == "temperature":
+        out = x_shift + xqm
+        if return_anoms:
+            out = out - y_climo[..., anom]
+    else:
+        out = xqm
+        if return_anoms:
+            out = out / y_climo[..., anom]
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_fit_lazy(fit_groups: PaddedGroups, with_x_climo: bool):
+    return jax.jit(lambda x, y: bcsd_fit_lazy(x, y, fit_groups, with_x_climo=with_x_climo))
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_predict_stream(
+    plan: _PredictPlan, variable, return_anoms, alpha, beta, extrapolate, n_endpoints, detrend, group_chunk
+):
+    return jax.jit(
+        lambda state, x: bcsd_predict_streaming(
+            state,
+            x,
+            plan,
+            variable=variable,
+            return_anoms=return_anoms,
+            alpha=alpha,
+            beta=beta,
+            extrapolate=extrapolate,
+            n_endpoints=n_endpoints,
+            detrend=detrend,
+            group_chunk=group_chunk,
+        )
+    )
 
 
 @functools.lru_cache(maxsize=128)

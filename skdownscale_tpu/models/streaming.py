@@ -1,0 +1,269 @@
+"""Group-chunked ("streaming") ragged quantile mapping.
+
+The dense formulation in :mod:`.grouped` materializes every fit group's
+window at once: for the ``'daily_nasa-nex'`` flavor
+(``/root/reference/skdownscale/pointwise_models/bcsd.py:36-44`` +
+``groupers.py:19-82``), the 366 overlapping ±15-day DOY windows expand the
+training series 27x, capping a single pass near ~3k cells on one 16 GB chip
+(round-1 BASELINE.md config 5).  This module runs the same math as one
+``lax.scan`` over *transform-group chunks*: each step gathers only its
+chunk's fit windows and queries, sorts, maps, and scatter-adds into the
+output, so live HBM is O(cells · chunk) instead of O(cells · 27 · T).
+
+Two key observations make this exact (not an approximation):
+
+* predict-time work factors over the transform partition — each transform
+  group maps only through its single matched fit row, so a chunk of
+  transform groups needs only its own fit windows (in the daily flavor only
+  31 of the 366 fitted DOY windows are ever consulted, because the
+  reference's predict groups by *day of month* and looks those keys up in
+  the day-of-year table — key-space mixing replicated from
+  ``bcsd.py:51-53,69-79``);
+* per-group index tables are shared across cells, so they can be scanned
+  device arrays (traced operands) without changing the compiled gather
+  pattern XLA emits for the host-constant tables of the dense path.
+
+All chunk tables are host-precomputed numpy (:class:`StreamTables`) and
+stacked along a leading chunk axis; the scan body is shape-identical across
+chunks.  Sorting, Cunnane positions, tail OLS and the intercept-bias reset
+replicate :func:`.grouped.grouped_qm_transform` / ``quantile.py:485-545``
+row for row, so results match the dense path to float round-off.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import interp_rows
+from ..ops.ranks import self_quantiles
+from ..ops.regression import ols_1d
+from ..utils.timeindex import PaddedGroups
+from .grouped import _padded_pp
+
+__all__ = ["StreamTables", "build_stream_tables", "streaming_qm_transform"]
+
+
+class StreamTables(NamedTuple):
+    """Host-built per-chunk tables, stacked on a leading (NC,) chunk axis.
+
+    ``fit_take`` indexes the *source* array (raw series when
+    ``presorted=False``; flat sorted state ``vals`` when ``True``);
+    ``q_take`` indexes the query series; ``hi_pos`` indexes the chunk's
+    sorted flat ``(Gc*Lt,)`` table.  Float tables are Cunnane plotting
+    positions / tail-window 0-1 weights; masks are prefix masks per group.
+    """
+
+    fit_take: np.ndarray  # (NC, Gc*Lt) int32
+    fit_mask: np.ndarray  # (NC, Gc, Lt) bool
+    fit_pp: np.ndarray  # (NC, Gc, Lt)
+    lo_w: np.ndarray  # (NC, Gc, ne)
+    lo_px: np.ndarray  # (NC, Gc, ne)
+    hi_pos: np.ndarray  # (NC, Gc*ne) int32
+    hi_w: np.ndarray  # (NC, Gc, ne)
+    hi_px: np.ndarray  # (NC, Gc, ne)
+    lo_edge: np.ndarray  # (NC, Gc, 1) first valid pp per group
+    hi_edge: np.ndarray  # (NC, Gc, 1) last valid pp per group
+    q_take: np.ndarray  # (NC, Gc*Lq) int32
+    q_mask: np.ndarray  # (NC, Gc, Lq) bool
+    q_pp: np.ndarray  # (NC, Gc, Lq)
+    trend_cols: np.ndarray  # (NC, Gc) int32 — fit-group column into state trend arrays
+
+
+def build_stream_tables(
+    fit: PaddedGroups,
+    transform: PaddedGroups,
+    t2f: np.ndarray,
+    *,
+    alpha: float = 0.4,
+    beta: float = 0.4,
+    n_endpoints: int = 10,
+    group_chunk: int = 8,
+    source: str = "raw",
+    dtype=np.float64,
+) -> StreamTables:
+    """Precompute scan tables for one (fit groups, transform partition) pair.
+
+    ``t2f[g]`` is the fit row consulted by transform group ``g``
+    (``_match_keys`` semantics, ``bcsd.py:69-79``).  ``source='raw'`` makes
+    ``fit_take`` gather raw time steps (windows sorted in-chunk);
+    ``'state'`` makes it gather the pre-sorted flat ``(G*Lt,)`` state table.
+    """
+    Gt, Lq = transform.indices.shape
+    Gf, Lt = fit.indices.shape
+    Gc = min(group_chunk, Gt)
+    NC = math.ceil(Gt / Gc)
+    Gp = NC * Gc  # padded transform-group count
+    ne = min(n_endpoints, Lt)
+
+    rows = np.zeros(Gp, np.int64)
+    rows[:Gt] = np.asarray(t2f, np.int64)
+    live = np.zeros(Gp, bool)
+    live[:Gt] = True
+
+    # --- fit side -----------------------------------------------------
+    if source == "raw":
+        fit_take = fit.indices[rows].astype(np.int32)  # (Gp, Lt)
+    elif source == "state":
+        fit_take = (rows[:, None] * Lt + np.arange(Lt)[None, :]).astype(np.int32)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown source {source!r}")
+    fit_mask = fit.mask[rows] & live[:, None]
+    counts = np.where(live, fit.counts[rows], 0).astype(np.int64)
+    pp_all = np.asarray(_padded_pp(fit, alpha, beta), dtype).reshape(Gf, Lt)
+    fit_pp = pp_all[rows]
+
+    j = np.arange(ne)
+    lo_w = (j[None, :] < counts[:, None]).astype(dtype)
+    lo_px = fit_pp[:, :ne]
+    start = np.maximum(counts - ne, 0)
+    hi_cols = start[:, None] + j[None, :]  # (Gp, ne)
+    hi_w = (hi_cols < counts[:, None]).astype(dtype)
+    hi_px = np.take_along_axis(fit_pp, hi_cols, axis=1)
+    hi_pos = ((np.arange(Gp) % Gc)[:, None] * Lt + hi_cols).astype(np.int32)
+    lo_edge = fit_pp[:, 0:1]
+    hi_edge = np.take_along_axis(fit_pp, np.maximum(counts - 1, 0)[:, None], axis=1)
+
+    # --- query side -----------------------------------------------------
+    q_take = np.zeros((Gp, Lq), np.int32)
+    q_take[:Gt] = transform.indices
+    q_mask = np.zeros((Gp, Lq), bool)
+    q_mask[:Gt] = transform.mask
+    q_pp = np.full((Gp, Lq), 0.5, dtype)
+    q_pp[:Gt] = np.asarray(_padded_pp(transform, alpha, beta), dtype).reshape(Gt, Lq)
+
+    def C(a, shape):  # chunk-stack
+        return np.ascontiguousarray(a.reshape(NC, *shape))
+
+    return StreamTables(
+        fit_take=C(fit_take, (Gc * Lt,)),
+        fit_mask=C(fit_mask, (Gc, Lt)),
+        fit_pp=C(fit_pp.astype(dtype), (Gc, Lt)),
+        lo_w=C(lo_w, (Gc, ne)),
+        lo_px=C(lo_px.astype(dtype), (Gc, ne)),
+        hi_pos=C(hi_pos, (Gc * ne,)),
+        hi_w=C(hi_w, (Gc, ne)),
+        hi_px=C(hi_px.astype(dtype), (Gc, ne)),
+        lo_edge=C(lo_edge.astype(dtype), (Gc, 1)),
+        hi_edge=C(hi_edge.astype(dtype), (Gc, 1)),
+        q_take=C(q_take, (Gc * Lq,)),
+        q_mask=C(q_mask, (Gc, Lq)),
+        q_pp=C(q_pp, (Gc, Lq)),
+        trend_cols=C(rows.astype(np.int32), (Gc,)),
+    )
+
+
+def _masked_trend_chunk(vals, mask, w):
+    """Per-group linear trend vs within-group position (masked OLS against
+    ``arange``) — chunk-local version of ``grouped._masked_trend``
+    (``LinearTrendTransformer`` per sub-frame, ``quantile.py:97``)."""
+    L = vals.shape[-1]
+    t = jnp.arange(L, dtype=vals.dtype)
+    slope, intercept = ols_1d(t, jnp.where(mask, vals, 0.0), w)
+    return slope, intercept  # (..., Gc)
+
+
+def streaming_qm_transform(
+    source,
+    x,
+    tables: StreamTables,
+    n_out: int,
+    *,
+    presorted: bool,
+    extrapolate="both",
+    detrend: bool = False,
+    state_trend=None,
+):
+    """Grouped QM transform as a ``lax.scan`` over transform-group chunks.
+
+    ``source``: (..., Ns) — raw fit series (``presorted=False``) or flat
+    sorted state vals (``presorted=True``); ``x``: (..., Tp) query series;
+    ``n_out``: output length (= Tp).  ``state_trend``: (slope (..., Gf),
+    intercept (..., Gf)) when ``presorted`` and ``detrend``.  Returns
+    (..., n_out) with each query's mapped value scattered to its time step.
+    """
+    dtype = x.dtype
+    lead = x.shape[:-1]
+    NC, GcLt = tables.fit_take.shape
+    Gc, Lt = tables.fit_mask.shape[1:]
+    Lq = tables.q_mask.shape[-1]
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def _as_dev(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    tabs = jax.tree_util.tree_map(_as_dev, tables)
+
+    def chunk(carry, tab):
+        fit_mask = tab.fit_mask  # (Gc, Lt)
+        # -- fit window -> sorted per-group CDF values ------------------
+        src = jnp.take(source, tab.fit_take, axis=-1).reshape(*lead, Gc, Lt)
+        if presorted:
+            svals = src  # already sorted + inf-padded state rows
+            if detrend:
+                f_slope = jnp.take(state_trend[0], tab.trend_cols, axis=-1)
+                f_intercept = jnp.take(state_trend[1], tab.trend_cols, axis=-1)
+        else:
+            if detrend:
+                w = fit_mask.astype(dtype)
+                f_slope, f_intercept = _masked_trend_chunk(src, fit_mask, w)
+                line = f_slope[..., None] * jnp.arange(Lt, dtype=dtype) + f_intercept[..., None]
+                src = src - line
+            masked = jnp.where(fit_mask, src, inf)
+            svals = jnp.sort(masked.reshape(-1, Lt), axis=-1).reshape(*lead, Gc, Lt)
+
+        # -- queries -> self plotting positions -------------------------
+        xq = jnp.take(x, tab.q_take, axis=-1).reshape(*lead, Gc, Lq)
+        if detrend:
+            qw = tab.q_mask.astype(dtype)
+            q_slope, q_intercept = _masked_trend_chunk(xq, tab.q_mask, qw)
+            q_line = q_slope[..., None] * jnp.arange(Lq, dtype=dtype) + q_intercept[..., None]
+            xq = xq - q_line
+        mq = jnp.where(tab.q_mask, xq, inf)
+        pps = self_quantiles(mq, tab.q_pp)  # (..., Gc, Lq)
+
+        # -- inverse through the fit CDF (pp -> vals), quantile.py:523-545
+        pp_tab = jnp.where(fit_mask, tab.fit_pp, inf)
+        v_last = jnp.max(jnp.where(fit_mask, svals, -inf), axis=-1, keepdims=True)
+        vals_tab = jnp.where(fit_mask, svals, v_last)
+        res = interp_rows(
+            jnp.broadcast_to(pp_tab, (*lead, Gc, Lt)), vals_tab, pps
+        )
+        if extrapolate in ("min", "both"):
+            # vals_tab (finite pads), not svals: 0-weight pad slots would
+            # otherwise contribute 0*inf = NaN to the weighted OLS sums
+            lo_py = vals_tab[..., : tab.lo_w.shape[-1]]
+            lo_s, lo_i = ols_1d(
+                jnp.broadcast_to(tab.lo_px, lo_py.shape), lo_py, tab.lo_w
+            )
+            res = jnp.where(
+                pps < tab.lo_edge, lo_i[..., None] + lo_s[..., None] * pps, res
+            )
+        if extrapolate in ("max", "both"):
+            hi_py = jnp.take(vals_tab.reshape(*lead, Gc * Lt), tab.hi_pos, axis=-1).reshape(
+                *lead, Gc, -1
+            )
+            hi_s, hi_i = ols_1d(
+                jnp.broadcast_to(tab.hi_px, hi_py.shape), hi_py, tab.hi_w
+            )
+            res = jnp.where(
+                pps > tab.hi_edge, hi_i[..., None] + hi_s[..., None] * pps, res
+            )
+
+        if detrend:
+            res = res + q_line
+            # intercept-bias reset (quantile.py:145)
+            res = res - (q_intercept - f_intercept)[..., None]
+
+        out = jnp.where(tab.q_mask, res, 0.0).reshape(*lead, Gc * Lq)
+        carry = carry.at[..., tab.q_take].add(out)
+        return carry, None
+
+    out0 = jnp.zeros((*lead, n_out), dtype)
+    out, _ = jax.lax.scan(chunk, out0, tabs)
+    return out

@@ -1,0 +1,273 @@
+"""Pallas TPU kernel: fused kNN analog statistics for GARD PureAnalog.
+
+The reference queries a per-cell KDTree and then reduces the gathered analog
+targets (``/root/reference/skdownscale/pointwise_models/gard.py:299-346``).
+Round 1 ran that as distance matmul + ``lax.top_k`` + one-hot gathers; the
+(cells·queries, train) distance matrix and its top-k sort dominated the
+PureAnalog pass (~1.6 s of 3.3 s at BASELINE config 4a; VERDICT r1 #3).
+
+This kernel never materializes distances to HBM.  Per (cell, query-block)
+grid step it holds one (n_train, mq) squared-distance block in VMEM and:
+
+1. computes d² on the MXU via the centered expanded form
+   |t|² − 2 t·q + |q|² (callers pre-center features per cell, which removes
+   the catastrophic-cancellation failure of the raw expanded form on
+   ~300 K climate values — see ``ops.knn._knn_block``);
+2. finds each query's exact k-th smallest distance by *bit-pattern
+   bisection* — non-negative IEEE-754 floats compare like their int32 bit
+   patterns, so 31 masked count-reductions pin the k-th order statistic
+   exactly, with a second bisection over the training index resolving
+   distance ties toward the lower index (``lax.top_k``'s stable order);
+3. emits the PureAnalog outputs (pred / exceedance_prob /
+   prediction_error, ``gard.py:303-346``) as (1, n)·(n, mq) mask matmuls —
+   selection-by-threshold works because every PureAnalog kind needs only
+   set statistics or a single rank-r element, never the sorted analog list.
+
+Layout: train on lanes as an (8, n_pad) slab [f feature rows, one y row,
+zero pad rows]; queries as (8, mq) slabs; every intermediate is (n_pad, mq)
+or (1, mq).  No transposes, no sublane-minor arrays, dense HBM tiling.
+HBM traffic: one read of train+queries per block, one (8, mq) write.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pure_analog_stats"]
+
+_INF_BITS = np.int32(0x7F800000)  # +inf bit pattern: count(<= inf) == n
+_ROWS = 8  # feature-slab sublane count (f32 tile height)
+
+
+def _dot(a, b):
+    """(r, n) x (n, m) -> (r, m) MXU contraction.
+
+    precision=HIGHEST: the default TPU matmul truncates f32 operands toward
+    bf16, whose ~8-bit mantissa perturbs d^2 by ~1e-2 on O(10) coordinates —
+    enough to swap near-tie neighbours vs the VPU diff-form distances."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _dotT(a, b):
+    """(r, n) x (r, m) -> (n, m): contract the leading dim of both (MXU
+    transposed-LHS contraction — avoids materializing any transpose)."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _bisect_kth(bits, target, n_iter=31):
+    """Smallest int32 ``t`` (per lane) with ``count(bits <= t) >= target``.
+
+    ``bits``: (n, mq) non-negative int32 (monotone f32 bit patterns);
+    ``target``: (1, mq) int32 ranks (1-based).  31 iterations cover the full
+    non-negative int32 range exactly.
+    """
+    lo = jnp.zeros(target.shape, jnp.int32)
+    hi = jnp.full(target.shape, _INF_BITS, jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((bits <= mid).astype(jnp.int32), axis=0, keepdims=True)
+        ge = cnt >= target
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return hi
+
+
+def _bisect_tie_idx(tie_mask, idx, target, n_iter):
+    """Smallest index ``j`` (per lane) with ``count(tie & idx <= j) >= target``."""
+    lo = jnp.zeros(target.shape, jnp.int32)
+    hi = jnp.full(target.shape, (1 << n_iter) - 1, jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((tie_mask & (idx <= mid)).astype(jnp.int32), axis=0, keepdims=True)
+        ge = cnt >= target
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return hi
+
+
+def _select(bits, idx, target, idx_iters):
+    """Exact rank-``target`` selection, lex order (distance bits, index).
+    Returns (mask (n, mq) bool, tau (1, mq), j_star (1, mq))."""
+    tau = _bisect_kth(bits, target)
+    less = bits < tau
+    tie = bits == tau
+    n_less = jnp.sum(less.astype(jnp.int32), axis=0, keepdims=True)
+    j_star = _bisect_tie_idx(tie, idx, target - n_less, idx_iters)
+    return less | (tie & (idx <= j_star)), tau, j_star
+
+
+def _make_kernel(f: int, k: int, kind: str, thresh, idx_iters: int):
+    def kernel(a_ref, q_ref, rand_ref, out_ref):
+        A = a_ref[0]  # (8, n_pad): rows 0..f-1 features, row f = y, rest 0
+        Q = q_ref[0]  # (8, mq): rows 0..f-1 features, rest 0
+        dtype = A.dtype
+        n = A.shape[1]
+        mq = Q.shape[1]
+
+        frow = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0) < f
+        fmask = frow.astype(dtype)
+        ones_col = jnp.ones((_ROWS, 1), dtype)
+        Af = A * fmask  # y/pad rows zeroed out of the distance terms
+        tn = _dotT(Af * A, ones_col)  # (n, 1) = per-train |t|^2
+        qn = jnp.sum(Q * Q, axis=0, keepdims=True)  # rows >= f are zero
+        cross = _dotT(Af, Q)  # (n, mq)
+        d2 = jnp.maximum(tn + qn - 2.0 * cross, 0.0)
+
+        bits = pltpu.bitcast(d2, jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, mq), 0)
+        yrow = A[f : f + 1, :]  # (1, n)
+
+        k_t = jnp.full((1, mq), k, jnp.int32)
+        S, _, _ = _select(bits, idx, k_t, idx_iters)
+        Sf = S.astype(dtype)
+
+        tval = jnp.asarray(-jnp.inf if thresh is None else thresh, dtype)
+        ex_row = (yrow > tval).astype(dtype)  # (1, n)
+        n_exceed = _dot(ex_row, Sf)  # selected & above threshold
+        kf = jnp.asarray(float(k), dtype)
+        n_below = kf - n_exceed
+
+        sum_y = _dot(yrow, Sf)
+        mean = sum_y / kf
+
+        # std over the thresh-masked k-slot array: NaN if any slot is below
+        # threshold (np.std of NaNs, gard.py:342), else std over all k.
+        # Variance uses the pre-centered y row (slab row f+1): the single-pass
+        # E[y^2]-E[y]^2 form on raw ~300 K values loses ~7 digits to
+        # cancellation in f32
+        ycrow = A[f + 1 : f + 2, :]
+        sum_yc = _dot(ycrow, Sf)
+        sum_yc2 = _dot(ycrow * ycrow, Sf)
+        mc = sum_yc / kf
+        if k == 1:  # std of a single element is identically 0
+            err = jnp.zeros((1, mq), dtype)
+        else:
+            var = jnp.maximum(sum_yc2 / kf - mc * mc, 0.0)
+            err = jnp.sqrt(var)
+        nan = jnp.asarray(jnp.nan, dtype)
+        if thresh is not None:
+            err = jnp.where(n_below > 0, nan, err)
+
+        if kind == "mean_analogs":
+            pred = mean
+            if thresh is not None:
+                pred = jnp.where(n_below > 0, 0.0, pred)  # nan_to_num (gard.py:329)
+        elif kind == "weight_analogs":
+            dist = jnp.sqrt(d2)
+            tiny = jnp.asarray(1e-20, dtype)
+            SW = Sf / jnp.where(dist == 0, tiny, dist)
+            pred = _dot(yrow, SW) / jnp.sum(SW, axis=0, keepdims=True)
+            if thresh is not None:
+                pred = jnp.where(n_below > 0, 0.0, pred)
+        else:  # best_analog / sample_analogs: the rank-r element's raw value
+            if kind == "sample_analogs":
+                r_t = rand_ref[0, 0:1, :] + 1
+            else:
+                r_t = jnp.full((1, mq), 1, jnp.int32)
+            Sr, tau_r, j_r = _select(bits, idx, r_t, idx_iters)
+            one = ((bits == tau_r) & (idx == j_r)).astype(dtype)
+            pred = _dot(yrow, one)
+
+        if thresh is None:
+            prob = jnp.ones((1, mq), dtype)
+        else:
+            prob = n_exceed / kf
+
+        out_ref[0, 0:1, :] = pred
+        out_ref[0, 1:2, :] = prob
+        out_ref[0, 2:3, :] = err
+        out_ref[0, 3:, :] = jnp.zeros((_ROWS - 3, mq), dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kind", "thresh", "mq", "interpret"))
+def pure_analog_stats(
+    X_train,
+    y_train,
+    Xq,
+    rand_inds,
+    *,
+    k: int,
+    kind: str,
+    thresh=None,
+    mq: int = 128,
+    interpret: bool = False,
+):
+    """Fused PureAnalog predict: (C, m, 3) [pred, exceedance_prob, error].
+
+    ``X_train``: (C, n, f); ``y_train``: (C, n); ``Xq``: (C, m, f);
+    ``rand_inds``: (C, m) int32 analog ranks for ``sample_analogs`` (pass
+    zeros otherwise).  Semantics match ``models.gard.pure_analog_predict``
+    (``gard.py:273-346``) with ``lax.top_k`` tie order; distances use the
+    per-cell-centered expanded form (exact ties, e.g. duplicate training
+    rows, are preserved under centering).
+    """
+    C, n, f = X_train.shape
+    m = Xq.shape[1]
+    dtype = jnp.float32
+    if X_train.dtype != dtype:
+        raise ValueError("pure_analog_stats is float32-only (bit-pattern bisection)")
+    if f > _ROWS - 2:
+        raise ValueError(f"at most {_ROWS - 2} features supported, got {f}")
+
+    n_pad = -(-n // 128) * 128
+    m_pad = -(-m // mq) * mq
+    idx_iters = max(int(np.ceil(np.log2(max(n_pad, 2)))), 1)
+
+    # center features per cell: removes expanded-form cancellation without
+    # changing any pairwise distance
+    mu = jnp.mean(X_train, axis=1, keepdims=True)  # (C, 1, f)
+    BIG = jnp.asarray(1e20, dtype)
+
+    A = jnp.zeros((C, _ROWS, n_pad), dtype)
+    A = A.at[:, :f, :n].set(jnp.swapaxes(X_train - mu, 1, 2))
+    A = A.at[:, 0, n:].set(BIG)  # pad train points to +inf distance
+    A = A.at[:, f, :n].set(y_train)
+    # centered y (variance row): single-pass variance is cancellation-safe
+    A = A.at[:, f + 1, :n].set(y_train - jnp.mean(y_train, axis=1, keepdims=True))
+
+    Qa = jnp.zeros((C, _ROWS, m_pad), dtype)
+    Qa = Qa.at[:, :f, :m].set(jnp.swapaxes(Xq - mu, 1, 2))
+
+    rnd = jnp.zeros((C, 1, m_pad), jnp.int32)
+    rnd = rnd.at[:, 0, :m].set(rand_inds.astype(jnp.int32))
+
+    kernel = _make_kernel(f, k, kind, thresh, idx_iters)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, _ROWS, m_pad), dtype),
+        grid=(C, m_pad // mq),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, n_pad), lambda c, q: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A, Qa, rnd)
+    return jnp.swapaxes(out, 1, 2)[:, :m, :3]

@@ -1,0 +1,119 @@
+"""Streaming (group-chunked) BCSD must match the dense formulation.
+
+The streaming path (models/streaming.py) reorganizes the grouped QM
+transform as a lax.scan over transform-group chunks and can defer fit-time
+CDF construction (BcsdLazyState).  Same math, different schedule — outputs
+must agree with the dense path to float round-off, which transitively ties
+them to the reference via the dense golden tests (test_bcsd_golden.py).
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from skdownscale_tpu.models import bcsd as B
+
+
+def _monthly(rng, n_cells=5, years=12):
+    idx = pd.date_range("1980-01-01", periods=years * 12, freq="MS")
+    seas = 8 * np.sin(2 * np.pi * (idx.month.to_numpy() - 1) / 12)
+    x = 283 + seas[None, :] + rng.normal(0, 2, (n_cells, len(idx))) + 1.5
+    y = 282 + seas[None, :] + rng.normal(0, 1.8, (n_cells, len(idx)))
+    return idx, x, y
+
+
+def _daily(rng, n_cells=3, years=4):
+    idx = pd.date_range("2000-01-01", periods=years * 365 + 1, freq="D")
+    seas = 10 * np.sin(2 * np.pi * (idx.dayofyear.to_numpy() - 1) / 365.25)
+    x = 283 + seas[None, :] + rng.normal(0, 2, (n_cells, len(idx))) + 1.2
+    y = 282 + seas[None, :] + rng.normal(0, 1.7, (n_cells, len(idx)))
+    return idx, x, y
+
+
+@pytest.mark.parametrize("detrend", [False, True])
+@pytest.mark.parametrize("variable,return_anoms", [("temperature", False), ("temperature", True), ("precipitation", False)])
+def test_monthly_streaming_matches_dense(rng, detrend, variable, return_anoms):
+    idx, x, y = _monthly(rng)
+    model = B.BcsdTemperature() if variable == "temperature" else B.BcsdPrecipitation()
+    fg = model._fit_groups(idx)
+    plan = model._predict_plan(fg, idx)
+    with_x = variable == "temperature"
+    state = B.bcsd_fit(jnp.asarray(x), jnp.asarray(y), fg, with_x_climo=with_x, detrend=detrend)
+    dense = B.bcsd_predict(
+        state, jnp.asarray(x), plan, variable=variable, return_anoms=return_anoms, detrend=detrend
+    )
+    for gc in (3, 8, 12):
+        stream = B.bcsd_predict_streaming(
+            state,
+            jnp.asarray(x),
+            plan,
+            variable=variable,
+            return_anoms=return_anoms,
+            detrend=detrend,
+            group_chunk=gc,
+        )
+        npt.assert_allclose(np.asarray(stream), np.asarray(dense), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("detrend", [False, True])
+@pytest.mark.parametrize("variable", ["temperature", "precipitation"])
+def test_daily_lazy_streaming_matches_dense(rng, detrend, variable):
+    idx, x, y = _daily(rng)
+    model = (
+        B.BcsdTemperature(time_grouper="daily_nasa-nex", return_anoms=False)
+        if variable == "temperature"
+        else B.BcsdPrecipitation(time_grouper="daily_nasa-nex", return_anoms=False)
+    )
+    fg = model._fit_groups(idx)
+    plan = model._predict_plan(fg, idx)
+    with_x = variable == "temperature"
+    dense_state = B.bcsd_fit(
+        jnp.asarray(x), jnp.asarray(y), fg, with_x_climo=with_x, detrend=detrend
+    )
+    dense = B.bcsd_predict(
+        dense_state, jnp.asarray(x), plan, variable=variable, return_anoms=False, detrend=detrend
+    )
+    lazy_state = B.bcsd_fit_lazy(jnp.asarray(x), jnp.asarray(y), fg, with_x_climo=with_x)
+    stream = B.bcsd_predict_streaming(
+        lazy_state,
+        jnp.asarray(x),
+        plan,
+        variable=variable,
+        return_anoms=False,
+        detrend=detrend,
+        group_chunk=8,
+    )
+    npt.assert_allclose(np.asarray(stream), np.asarray(dense), rtol=1e-9, atol=1e-9)
+
+
+def test_lazy_climatology_matches_dense(rng):
+    idx, x, y = _daily(rng)
+    model = B.BcsdTemperature(time_grouper="daily_nasa-nex")
+    fg = model._fit_groups(idx)
+    dense_state = B.bcsd_fit(jnp.asarray(x), jnp.asarray(y), fg, with_x_climo=True)
+    G, L = fg.indices.shape
+    _, y_climo_d, x_climo_d = dense_state.unpack(G, L)
+    lazy = B.bcsd_fit_lazy(jnp.asarray(x), jnp.asarray(y), fg, with_x_climo=True)
+    y_climo_l, x_climo_l = lazy.unpack(G)
+    npt.assert_allclose(np.asarray(y_climo_l), np.asarray(y_climo_d), rtol=1e-9)
+    npt.assert_allclose(np.asarray(x_climo_l), np.asarray(x_climo_d), rtol=1e-9)
+
+
+def test_registry_daily_uses_streaming(rng):
+    from skdownscale_tpu.models import batched as _b
+
+    idx, x, y = _daily(rng, n_cells=2)
+    model = B.BcsdTemperature(time_grouper="daily_nasa-nex", return_anoms=False)
+    st = _b.batched_fit(model, idx, jnp.asarray(x)[..., None], jnp.asarray(y))
+    assert isinstance(st, B.BcsdLazyState)
+    out = _b.batched_predict(model, st, idx, jnp.asarray(x)[..., None], idx)
+    # single-cell wrapper (dense path) as the cross-check
+    ref = model.fit(
+        pd.DataFrame({"v": x[0]}, index=idx), pd.DataFrame({"v": y[0]}, index=idx)
+    ).predict(pd.DataFrame({"v": x[0]}, index=idx))
+    npt.assert_allclose(np.asarray(out)[0], np.asarray(ref).ravel(), rtol=1e-8, atol=1e-8)
+    attrs = _b.batched_attrs(model, st)
+    assert attrs["y_climo_"].shape == (2, 366)
