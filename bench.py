@@ -104,7 +104,7 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144, streamin
 
     if streaming:
         fitj = _jit_fit_lazy(fg, True)
-        predj = _jit_predict_stream(plan, "temperature", False, 0.4, 0.4, "both", 10, False, 3)
+        predj = _jit_predict_stream(plan, "temperature", False, 0.4, 0.4, "both", 10, False, 2)
     else:
         fitj = _jit_fit(fg, True, 0.4, 0.4, False)
         predj = _jit_predict(plan, "temperature", False, 0.4, 0.4, "both", 10, False)
@@ -266,7 +266,7 @@ def bench_gard(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
     import jax
     import jax.numpy as jnp
 
-    from skdownscale_tpu.models.gard import analog_regression_predict
+    from skdownscale_tpu.models.gard import analog_regression_predict_batched
 
     rng = np.random.default_rng(0)
     Xt = jax.device_put(rng.normal(10, 3, (n_cells, n_train, 2)).astype(np.float32))
@@ -275,11 +275,11 @@ def bench_gard(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
     )
     Xq = jax.device_put(rng.normal(10, 3, (n_cells, n_queries, 2)).astype(np.float32))
     fn = jax.jit(
-        jax.vmap(lambda xt, yy, xq: analog_regression_predict(xt, yy, xq, k=k, thresh=13.0))
+        lambda xt, yy, xq: analog_regression_predict_batched(xt, yy, xq, k=k, thresh=13.0)
     )
 
     def run():
-        return float(jnp.sum(fn(Xt, yt, Xq)))
+        return float(jnp.sum(jnp.nan_to_num(fn(Xt, yt, Xq))))
 
     run()
     times = []

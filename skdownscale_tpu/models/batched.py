@@ -248,13 +248,18 @@ _REGISTRY[_q.TrendAwareQuantileMappingRegressor] = _Impl(
 # ----------------------------------------------------------------------
 
 
+# Above this many cells the monthly BCSD also switches to the streaming
+# (lazy fit + group-chunked scan predict) formulation: the dense path's
+# materialized group temporaries cap a single 16 GB-chip pass near 256k
+# cells.  The daily flavor always streams (27x window expansion).
+STREAMING_CELL_THRESHOLD = 200_000
+
+
 def _bcsd_fit(model, index_fit, X, y):
-    # batch-native core: group tables are host constants, no outer vmap.
-    # The daily flavor defers its per-group CDFs (27x window expansion) to
-    # a streaming predict — see models.streaming; monthly stays dense.
+    # batch-native core: group tables are host constants, no outer vmap
     fg = model._fit_groups(index_fit)
     p = model._qm_params()
-    if model._timestep_kind == "daily":
+    if model._timestep_kind == "daily" or X.shape[0] >= STREAMING_CELL_THRESHOLD:
         fit = _bcsd._jit_fit_lazy(fg, model._with_x_climo)
     else:
         fit = _bcsd._jit_fit(fg, model._with_x_climo, p["alpha"], p["beta"], p["detrend"])
@@ -269,6 +274,10 @@ def _bcsd_predict(model, state, index_fit, X, index):
     p = model._qm_params()
     variable = "temperature" if model._with_x_climo else "precipitation"
     if isinstance(state, _bcsd.BcsdLazyState):
+        # chunk size bounds the scan's live (C, Gc*L) temporaries; the
+        # monthly flavor streams only at continental cell counts, so it
+        # gets a smaller chunk than the always-streaming daily flavor
+        group_chunk = 8 if model._timestep_kind == "daily" else 3
         pred = _bcsd._jit_predict_stream(
             plan,
             variable,
@@ -278,7 +287,7 @@ def _bcsd_predict(model, state, index_fit, X, index):
             p["extrapolate"],
             p["n_endpoints"],
             p["detrend"],
-            8,
+            group_chunk,
         )
     else:
         pred = _bcsd._jit_predict(
@@ -376,10 +385,9 @@ _REGISTRY[_gard.PureAnalog] = _Impl(_gard_fit, _pure_analog_predict, None,
 
 
 def _analog_reg_predict(model, state, index_fit, X, index):
-    fn = lambda xt, yt, xq: _gard.analog_regression_predict(
-        xt, yt, xq, k=model.k_, thresh=model.thresh
+    return _gard.analog_regression_predict_batched(
+        state.X_train, state.y_train, X, k=model.k_, thresh=model.thresh
     )
-    return jax.vmap(fn)(state.X_train, state.y_train, X)
 
 
 _REGISTRY[_gard.AnalogRegression] = _Impl(_gard_fit, _analog_reg_predict, None,

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rolling import rolling_mean
+from ..ops.rolling import rolling_mean_grouped_flat
 from ..utils.timeindex import PaddedGroups, TimeIndex, padded_doy_groups
 from .base import SingleCellEstimator, asarray_2d
 from .grouped import (
@@ -203,16 +203,12 @@ def bcsd_predict(
     fit_valid_aligned = plan.fit.mask[t2f].reshape(-1)
 
     if variable == "temperature":
-        # 9-point centered rolling mean within each climate-trend group;
-        # groups fold into rows so the rolling buffers stay 2-D
-        M, Lr = plan.rolling.indices.shape
+        # 9-point centered rolling mean within each climate-trend group —
+        # fully flat 2-D (host segment masks enforce group boundaries)
         xg = gather_groups(x, plan.rolling, fill=0.0)  # (..., M*Lr)
-        lead = xg.shape[:-1]
-        rmask2 = jnp.asarray(plan.rolling.mask)  # (M, Lr)
-        rolled_g = rolling_mean(
-            xg.reshape(*lead, M, Lr), rolling_window, center=True, min_periods=1, valid=rmask2
+        rolled_flat = rolling_mean_grouped_flat(
+            xg, rolling_window, plan.rolling.mask, min_periods=1
         )
-        rolled_flat = jnp.where(rmask2, rolled_g, 0.0).reshape(*lead, M * Lr)
         rolled = scatter_groups(rolled_flat, plan.rolling, n)
         # remove climatology from the climate trend (bcsd.py:253)
         x_shift = rolled - x_climo[..., plan.shift_labels]
@@ -330,14 +326,10 @@ def bcsd_predict_streaming(
         state_trend = (qm.trend_slope, qm.trend_intercept)
 
     if variable == "temperature":
-        M, Lr = plan.rolling.indices.shape
         xg = gather_groups(x, plan.rolling, fill=0.0)
-        lead = xg.shape[:-1]
-        rmask2 = jnp.asarray(plan.rolling.mask)
-        rolled_g = rolling_mean(
-            xg.reshape(*lead, M, Lr), rolling_window, center=True, min_periods=1, valid=rmask2
+        rolled_flat = rolling_mean_grouped_flat(
+            xg, rolling_window, plan.rolling.mask, min_periods=1
         )
-        rolled_flat = jnp.where(rmask2, rolled_g, 0.0).reshape(*lead, M * Lr)
         rolled = scatter_groups(rolled_flat, plan.rolling, n)
         x_shift = rolled - x_climo[..., plan.shift_labels]
         x_no_shift = x - x_shift
@@ -355,7 +347,16 @@ def bcsd_predict_streaming(
         group_chunk=group_chunk,
         source="state" if presorted else "raw",
     )
-    xqm = streaming_qm_transform(
+    # fold the additive terms (restore climate trend, remove target
+    # climatology) into the scan's output carry — saves live (C, T) buffers
+    anom = plan.anom_labels if plan.anom_labels is not None else plan.shift_labels
+    if variable == "temperature":
+        out_init = x_shift
+        if return_anoms:
+            out_init = out_init - y_climo[..., anom]
+    else:
+        out_init = None
+    out = streaming_qm_transform(
         source,
         x_no_shift,
         tables,
@@ -364,17 +365,10 @@ def bcsd_predict_streaming(
         extrapolate=extrapolate,
         detrend=detrend,
         state_trend=state_trend,
+        out_init=out_init,
     )
-
-    anom = plan.anom_labels if plan.anom_labels is not None else plan.shift_labels
-    if variable == "temperature":
-        out = x_shift + xqm
-        if return_anoms:
-            out = out - y_climo[..., anom]
-    else:
-        out = xqm
-        if return_anoms:
-            out = out / y_climo[..., anom]
+    if variable != "temperature" and return_anoms:
+        out = out / y_climo[..., anom]  # ratio anomalies (bcsd.py:172-185)
     return out
 
 

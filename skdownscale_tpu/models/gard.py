@@ -54,6 +54,7 @@ __all__ = [
     "pure_analog_predict",
     "pure_analog_predict_batched",
     "analog_regression_predict",
+    "analog_regression_predict_batched",
     "pure_regression_fit",
     "pure_regression_predict",
 ]
@@ -136,6 +137,91 @@ def pure_analog_predict_batched(X_train, y_train, Xq, rand_inds, *, k: int, kind
         )
     fn = lambda xt, yt, xq, r: pure_analog_predict(xt, yt, xq, r, k=k, kind=kind, thresh=thresh)
     return jax.vmap(fn)(X_train, y_train, Xq, rand_inds)
+
+
+def _ar_finish(stats, prob, mu, ybar, Xq, f: int):
+    """Finish AnalogRegression from the fused kernel's sufficient statistics:
+    the tiny per-query OLS solves and the rmse, replicating
+    ``ops.regression.linreg_fit``'s centered pinv algebra (coef invariant to
+    the kernel's per-cell x/y centering; pred/intercept shift back)."""
+    from ..ops.regression import _psolve
+
+    tri_n = f * (f + 1) // 2
+    sw = stats[..., 0]  # (C, m)
+    swx = stats[..., 1 : 1 + f]
+    tri = stats[..., 1 + f : 1 + f + tri_n]
+    swy = stats[..., 1 + f + tri_n]
+    swxy = stats[..., 2 + f + tri_n : 2 + 2 * f + tri_n]
+    swy2 = stats[..., 2 + 2 * f + tri_n]
+
+    # unpack the upper-triangular Σw x xᵀ
+    swxx = jnp.zeros((*sw.shape, f, f), stats.dtype)
+    t = 0
+    for j in range(f):
+        for l in range(j, f):
+            swxx = swxx.at[..., j, l].set(tri[..., t])
+            swxx = swxx.at[..., l, j].set(tri[..., t])
+            t += 1
+
+    sw_safe = jnp.where(sw > 0, sw, 1.0)
+    xm = swx / sw_safe[..., None]
+    ym = swy / sw_safe
+    G = swxx - sw_safe[..., None, None] * xm[..., :, None] * xm[..., None, :]
+    b = swxy - swx * ym[..., None]
+    coef = jax.vmap(jax.vmap(_psolve))(G, b)  # (C, m, f)
+    intercept_c = ym - jnp.sum(coef * xm, axis=-1)
+
+    qc = Xq - mu  # (C, m, f): same per-cell centering as the kernel
+    pred = jnp.sum(coef * qc, axis=-1) + intercept_c + ybar
+
+    # Σw r² by quadratic expansion over the centered stats
+    ssr = (
+        swy2
+        - 2.0 * jnp.sum(coef * swxy, axis=-1)
+        - 2.0 * intercept_c * swy
+        + jnp.einsum("...j,...jl,...l->...", coef, swxx, coef)
+        + 2.0 * intercept_c * jnp.sum(coef * swx, axis=-1)
+        + intercept_c * intercept_c * sw
+    )
+    err = jnp.sqrt(jnp.maximum(ssr, 0.0) / sw_safe)
+    nan = jnp.asarray(jnp.nan, stats.dtype)
+    pred = jnp.where(sw > 0, pred, nan)
+    err = jnp.where(sw > 0, err, nan)
+    return jnp.stack([pred, prob, err], axis=-1)
+
+
+def analog_regression_predict_batched(
+    X_train, y_train, Xq, *, k: int, thresh=None, logistic_n_iter=12, force_kernel=None, interpret=False
+):
+    """Cell-batched ``AnalogRegression.predict``: (C, n, f)/(C, n)/(C, m, f)
+    -> (C, m, 3).
+
+    On TPU with float32 inputs and 1-2 features this runs the fused Pallas
+    kernel (:func:`~skdownscale_tpu.ops.pallas.knn_kernel.analog_regression_stats`):
+    selection, the local weighted-OLS sums, and the per-step logistic
+    exceedance fit all happen in VMEM — no distance matrix, no top-k, no
+    analog gathers.  Elsewhere it vmaps the single-cell core."""
+    f = X_train.shape[-1]
+    use_kernel = force_kernel
+    if use_kernel is None:
+        use_kernel = X_train.dtype == jnp.float32 and f in (1, 2) and k <= 4096
+        if use_kernel:
+            try:
+                platform = jax.devices()[0].platform.lower()
+            except Exception:  # pragma: no cover - backend init failure
+                platform = "cpu"
+            use_kernel = platform not in ("cpu", "gpu")
+    if use_kernel:
+        from ..ops.pallas.knn_kernel import analog_regression_stats
+
+        stats, prob, mu, ybar = analog_regression_stats(
+            X_train, y_train, Xq, k=k, thresh=thresh, n_iter=logistic_n_iter, interpret=interpret
+        )
+        return _ar_finish(stats, prob, mu, ybar, Xq, f)
+    fn = lambda xt, yt, xq: analog_regression_predict(
+        xt, yt, xq, k=k, thresh=thresh, logistic_n_iter=logistic_n_iter
+    )
+    return jax.vmap(fn)(X_train, y_train, Xq)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thresh", "logistic_n_iter"))

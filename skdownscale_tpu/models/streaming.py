@@ -177,6 +177,7 @@ def streaming_qm_transform(
     extrapolate="both",
     detrend: bool = False,
     state_trend=None,
+    out_init=None,
 ):
     """Grouped QM transform as a ``lax.scan`` over transform-group chunks.
 
@@ -264,6 +265,11 @@ def streaming_qm_transform(
         carry = carry.at[..., tab.q_take].add(out)
         return carry, None
 
-    out0 = jnp.zeros((*lead, n_out), dtype)
+    if out_init is None:
+        out0 = jnp.zeros((*lead, n_out), dtype)
+    else:
+        # additive terms (climate-trend shift, -climatology) folded into the
+        # scan carry: one less live (cells, T) buffer at continental scale
+        out0 = jnp.broadcast_to(out_init, (*lead, n_out)).astype(dtype)
     out, _ = jax.lax.scan(chunk, out0, tabs)
     return out

@@ -271,3 +271,219 @@ def pure_analog_stats(
         interpret=interpret,
     )(A, Qa, rnd)
     return jnp.swapaxes(out, 1, 2)[:, :m, :3]
+
+
+# ======================================================================
+# AnalogRegression: fused selection + local OLS stats + in-VMEM IRLS
+# ======================================================================
+
+
+def _solve3(H00, H01, H02, H11, H12, H22, g0, g1, g2):
+    """Symmetric 3x3 cofactor solve, elementwise over (1, mq) entries
+    (port of ``ops.regression._solve_small`` n=3)."""
+    A = H11 * H22 - H12 * H12
+    B = -(H01 * H22 - H12 * H02)
+    Cc = H01 * H12 - H11 * H02
+    det = H00 * A + H01 * B + H02 * Cc
+    i00, i01, i02 = A, -(H01 * H22 - H02 * H12), H01 * H12 - H02 * H11
+    i11, i12 = H00 * H22 - H02 * H02, -(H00 * H12 - H02 * H01)
+    i22 = H00 * H11 - H01 * H01
+    x0 = (i00 * g0 + i01 * g1 + i02 * g2) / det
+    x1 = (i01 * g0 + i11 * g1 + i12 * g2) / det
+    x2 = (i02 * g0 + i12 * g1 + i22 * g2) / det
+    return x0, x1, x2
+
+
+def _solve2(H00, H01, H11, g0, g1):
+    det = H00 * H11 - H01 * H01
+    return (H11 * g0 - H01 * g1) / det, (H00 * g1 - H01 * g0) / det
+
+
+def _make_ar_kernel(f: int, k: int, thresh, idx_iters: int, n_iter: int):
+    """AnalogRegression kernel body: per query, exact rank-k selection, then
+    the local weighted-OLS sufficient statistics and (when ``thresh`` is
+    set) a full in-VMEM damped-Newton logistic fit replicating
+    ``ops.regression.logistic_fit`` on the selected analogs
+    (``gard.py:191-224``).  f in {1, 2} (logistic solve is (f+1)x(f+1))."""
+
+    def kernel(a_ref, q_ref, out_ref):
+        # (8, n): rows 0..f-1 centered x (CLEAN at pads), f = y raw,
+        # f+1 = yc, f+2 = pad marker (BIG at padded train columns).  The pad
+        # marker gets its own row so the feature rows stay finite: a BIG pad
+        # coordinate inside a stats product row (x_j^2 -> inf) would
+        # NaN-poison the mask matmuls via inf*0.
+        A = a_ref[0]
+        Q = q_ref[0]  # (8, mq): rows 0..f-1 centered query x
+        dtype = A.dtype
+        n = A.shape[1]
+        mq = Q.shape[1]
+
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        dmask = ((row_id < f) | (row_id == f + 2)).astype(dtype)
+        Af = A * dmask
+        # pad-marker row: BIG^2 -> inf lands in tn; its cross term is
+        # BIG * 0 (query pad row is zero) = 0, exactly
+        tn = _dotT(Af * A, jnp.ones((_ROWS, 1), dtype))
+        qn = jnp.sum(Q * Q, axis=0, keepdims=True)
+        cross = _dotT(Af, Q)
+        d2 = jnp.maximum(tn + qn - 2.0 * cross, 0.0)
+
+        bits = pltpu.bitcast(d2, jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, mq), 0)
+        k_t = jnp.full((1, mq), k, jnp.int32)
+        S, _, _ = _select(bits, idx, k_t, idx_iters)
+        Sf = S.astype(dtype)
+
+        x = [A[j : j + 1, :] for j in range(f)]  # (1, n) rows
+        yraw = A[f : f + 1, :]
+        yc = A[f + 1 : f + 2, :]
+        tval = jnp.asarray(-jnp.inf if thresh is None else thresh, dtype)
+        ex = (yraw > tval).astype(dtype)  # (1, n) exceedance row
+
+        # --- weighted-OLS sufficient stats over selected & exceeding ------
+        def msum(row):  # sum_n row_n * S (per query)
+            return _dot(row, Sf)
+
+        stats = [msum(ex)]  # Σw
+        for j in range(f):
+            stats.append(msum(ex * x[j]))  # Σw x_j
+        for j in range(f):
+            for l in range(j, f):
+                stats.append(msum(ex * x[j] * x[l]))  # Σw x_j x_l
+        stats.append(msum(ex * yc))  # Σw yc
+        for j in range(f):
+            stats.append(msum(ex * x[j] * yc))  # Σw x_j yc
+        stats.append(msum(ex * yc * yc))  # Σw yc²
+
+        # --- logistic exceedance model (damped Newton, logistic_fit port) --
+        if thresh is not None:
+            n_ex = _dot(ex, Sf)  # selected & exceeding count
+            kf = jnp.asarray(float(k), dtype)
+            eps = jnp.asarray(jnp.finfo(dtype).eps * 10, dtype)
+            # constant part of the gradient: -C Σ S t xb_i  (t = exceed)
+            gt = [_dot(ex * x[j], Sf) for j in range(f)] + [n_ex]
+            xb = x + [None]  # index f == intercept row (implicit ones)
+
+            def hrow(j, l, h):
+                r = jnp.ones((1, n), dtype)
+                if xb[j] is not None:
+                    r = r * xb[j]
+                if xb[l] is not None:
+                    r = r * xb[l]
+                return _dot(r, h)
+
+            def step(_, beta):
+                z = jnp.zeros((1, mq), dtype)
+                for j in range(f):
+                    z = z + x[j].reshape(n, 1) * 0.0 if False else z
+                # z (n, mq) = Σ_j x_j β_j + b — via one contraction over rows
+                B = jnp.concatenate(
+                    [beta[j] for j in range(f)] + [jnp.zeros((_ROWS - f, mq), dtype)],
+                    axis=0,
+                )
+                zf = _dotT(Af, B) + beta[f]  # (n, mq)
+                p = jax.nn.sigmoid(zf)
+                Sp = Sf * p
+                h = Sf * p * (1.0 - p)
+                g = []
+                for j in range(f + 1):
+                    gp = _dot(x[j], Sp) if j < f else jnp.sum(Sp, axis=0, keepdims=True)
+                    reg = beta[j] if j < f else jnp.zeros((1, mq), dtype)
+                    g.append(gp - gt[j] + reg)
+                if f == 2:
+                    H00 = hrow(0, 0, h) + 1.0 + eps
+                    H01 = hrow(0, 1, h)
+                    H02 = hrow(0, 2, h)
+                    H11 = hrow(1, 1, h) + 1.0 + eps
+                    H12 = hrow(1, 2, h)
+                    H22 = hrow(2, 2, h) + eps
+                    d0, d1, d2_ = _solve3(H00, H01, H02, H11, H12, H22, *g)
+                    deltas = (d0, d1, d2_)
+                else:  # f == 1
+                    H00 = hrow(0, 0, h) + 1.0 + eps
+                    H01 = hrow(0, 1, h)
+                    H11 = hrow(1, 1, h) + eps
+                    deltas = _solve2(H00, H01, H11, *g)
+                return tuple(beta[j] - deltas[j] for j in range(f + 1))
+
+            beta0 = tuple(jnp.zeros((1, mq), dtype) for _ in range(f + 1))
+            beta = jax.lax.fori_loop(0, n_iter, step, beta0)
+
+            zq = beta[f]
+            for j in range(f):
+                zq = zq + Q[j : j + 1, :] * beta[j]
+            p0 = 1.0 - jax.nn.sigmoid(zq)  # predict_proba[:, 0] (gard.py:210)
+            prob = jnp.where(n_ex >= kf, jnp.ones((1, mq), dtype), p0)
+            prob = jnp.where(n_ex <= 0, jnp.zeros((1, mq), dtype), prob)
+        else:
+            prob = jnp.ones((1, mq), dtype)
+
+        rows = stats + [prob]
+        for i, r in enumerate(rows):
+            out_ref[0, i : i + 1, :] = r
+        pad = _STAT_ROWS - len(rows)
+        if pad:
+            out_ref[0, len(rows) :, :] = jnp.zeros((pad, mq), dtype)
+
+    return kernel
+
+
+_STAT_ROWS = 16
+
+
+@functools.partial(jax.jit, static_argnames=("k", "thresh", "n_iter", "mq", "interpret"))
+def analog_regression_stats(
+    X_train, y_train, Xq, *, k: int, thresh=None, n_iter: int = 12, mq: int = 128, interpret: bool = False
+):
+    """Fused AnalogRegression front half: selection + weighted-OLS sufficient
+    statistics + logistic exceedance probability, all in VMEM.
+
+    Returns ``(stats (C, m, R), prob (C, m), mu (C, 1, f), ybar (C, 1))``
+    where stats rows follow ``_make_ar_kernel`` order over CENTERED x
+    (per-cell train mean ``mu``) and y (per-cell mean ``ybar``); the caller
+    finishes the tiny per-query OLS solves (``models.gard``).
+    """
+    C, n, f = X_train.shape
+    m = Xq.shape[1]
+    dtype = jnp.float32
+    if X_train.dtype != dtype:
+        raise ValueError("analog_regression_stats is float32-only")
+    if f not in (1, 2):
+        raise ValueError("kernel supports 1 or 2 features")
+
+    n_pad = -(-n // 128) * 128
+    m_pad = -(-m // mq) * mq
+    idx_iters = max(int(np.ceil(np.log2(max(n_pad, 2)))), 1)
+
+    mu = jnp.mean(X_train, axis=1, keepdims=True)
+    ybar = jnp.mean(y_train, axis=1, keepdims=True)
+    BIG = jnp.asarray(1e20, dtype)
+
+    A = jnp.zeros((C, _ROWS, n_pad), dtype)
+    A = A.at[:, :f, :n].set(jnp.swapaxes(X_train - mu, 1, 2))
+    A = A.at[:, f, :n].set(y_train)
+    A = A.at[:, f + 1, :n].set(y_train - ybar)
+    A = A.at[:, f + 2, n:].set(BIG)  # pad marker row (own row: see kernel)
+
+    Qa = jnp.zeros((C, _ROWS, m_pad), dtype)
+    Qa = Qa.at[:, :f, :m].set(jnp.swapaxes(Xq - mu, 1, 2))
+
+    kernel = _make_ar_kernel(f, k, thresh, idx_iters, n_iter)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, _STAT_ROWS, m_pad), dtype),
+        grid=(C, m_pad // mq),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, n_pad), lambda c, q: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _STAT_ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A, Qa)
+    out = jnp.swapaxes(out, 1, 2)[:, :m, :]
+    r = _n_stat_rows(f)
+    return out[..., :r], out[..., r], mu, ybar  # ybar: (C, 1), broadcasts over m
+
+
+def _n_stat_rows(f: int) -> int:
+    return 1 + f + f * (f + 1) // 2 + 1 + f + 1

@@ -14,8 +14,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["rolling_mean", "rolling_std", "rolling_sum_count"]
+__all__ = ["rolling_mean", "rolling_std", "rolling_sum_count", "rolling_mean_grouped_flat"]
 
 
 def _window_sum(x, window: int, center: bool):
@@ -44,6 +45,53 @@ def _window_sum(x, window: int, center: bool):
         return acc + jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1)
 
     return jax.lax.fori_loop(0, w, body, jnp.zeros_like(x))
+
+
+def rolling_mean_grouped_flat(x_flat, window: int, valid: np.ndarray, *, min_periods: int = 1):
+    """Per-group centered rolling mean on a FLAT ``(..., G*L)`` layout.
+
+    Equivalent to ``rolling_mean(x.reshape(..., G, L), window, center=True,
+    valid=valid)`` but without ever materializing a 3-D ``(..., G, L)``
+    tensor: XLA tiles the two minor dims to (8, 128), so at continental
+    scale a (cells, 12, 40) rolling buffer pads 3.5x in HBM (the 1M-cell
+    OOM).  Group boundaries are enforced by host-precomputed per-offset
+    segment masks (a window term is kept only when it stays inside the
+    source position's group), and the valid-count/min_periods bookkeeping
+    is entirely host-side.  Addition order matches ``rolling_mean`` (masked
+    cross-boundary terms contribute exact 0.0), so results are identical on
+    the valid slots; padding slots return 0.
+
+    ``valid``: host (G, L) bool mask of real entries (prefix masks).
+    """
+    G, L = valid.shape
+    n = G * L
+    lo = -(window // 2)
+    hi = (window - 1) // 2
+    w = hi - lo + 1
+    pos = np.arange(n)
+    vflat = valid.reshape(-1)
+
+    seg = np.zeros((w, n), np.float64)
+    cnt = np.zeros(n, np.float64)
+    for j in range(w):
+        src = pos + lo + j
+        ok = (src >= 0) & (src < n) & ((src // L) == (pos // L))
+        seg[j, ok] = 1.0
+        cnt[ok] += vflat[np.clip(src, 0, n - 1)][ok]
+
+    dtype = x_flat.dtype
+    xp = jnp.pad(
+        x_flat * jnp.asarray(vflat, dtype), [(0, 0)] * (x_flat.ndim - 1) + [(-lo, hi)]
+    )
+    segd = jnp.asarray(seg, dtype)
+
+    def body(j, acc):
+        return acc + jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1) * segd[j]
+
+    s = jax.lax.fori_loop(0, w, body, jnp.zeros_like(x_flat))
+    denom = jnp.asarray(np.where(cnt > 0, cnt, 1.0), dtype)
+    keep = jnp.asarray((cnt >= min_periods) & vflat)
+    return jnp.where(keep, s / denom, 0.0)
 
 
 def rolling_sum_count(x, valid, window: int, center: bool = True):

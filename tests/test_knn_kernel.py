@@ -73,3 +73,47 @@ def test_kernel_all_below_threshold(rng):
     npt.assert_allclose(got[..., 0], 0.0)
     npt.assert_allclose(got[..., 1], 0.0)
     assert np.isnan(got[..., 2]).all()
+
+
+@pytest.mark.parametrize("thresh", [None, 13.0])
+@pytest.mark.parametrize("f", [1, 2])
+def test_analog_regression_kernel_matches_gather_path(rng, thresh, f):
+    from skdownscale_tpu.models.gard import (
+        analog_regression_predict,
+        analog_regression_predict_batched,
+    )
+
+    C, n, m, k = 2, 90, 17, 25
+    Xt = jnp.asarray(rng.normal(10, 3, (C, n, f)).astype(np.float32))
+    yt = jnp.asarray((0.2 * rng.normal(10, 3, (C, n)) + 13).astype(np.float32))
+    Xq = jnp.asarray(rng.normal(10, 3, (C, m, f)).astype(np.float32))
+    want = np.asarray(
+        jax.vmap(lambda a, b, c: analog_regression_predict(a, b, c, k=k, thresh=thresh))(
+            Xt, yt, Xq
+        )
+    )
+    got = np.asarray(
+        analog_regression_predict_batched(
+            Xt, yt, Xq, k=k, thresh=thresh, force_kernel=True, interpret=True
+        )
+    )
+    npt.assert_allclose(got[..., 0], want[..., 0], rtol=2e-4, atol=2e-4)  # pred
+    npt.assert_allclose(got[..., 1], want[..., 1], rtol=5e-4, atol=5e-4)  # prob
+    npt.assert_allclose(got[..., 2], want[..., 2], rtol=2e-3, atol=2e-3)  # rmse
+
+
+def test_analog_regression_kernel_none_exceed(rng):
+    from skdownscale_tpu.models.gard import analog_regression_predict_batched
+
+    C, n, m, f, k = 1, 60, 5, 2, 10
+    Xt = jnp.asarray(rng.normal(10, 3, (C, n, f)).astype(np.float32))
+    yt = jnp.asarray(rng.normal(5, 1, (C, n)).astype(np.float32))
+    Xq = jnp.asarray(rng.normal(10, 3, (C, m, f)).astype(np.float32))
+    got = np.asarray(
+        analog_regression_predict_batched(
+            Xt, yt, Xq, k=k, thresh=1e9, force_kernel=True, interpret=True
+        )
+    )
+    # no exceeding analogs: prob 0, pred/error NaN (the reference crashes)
+    npt.assert_allclose(got[..., 1], 0.0)
+    assert np.isnan(got[..., 0]).all() and np.isnan(got[..., 2]).all()

@@ -294,3 +294,33 @@ def test_sklearn_clone_compat():
     ]:
         cloned = clone(est)
         assert cloned.get_params() == est.get_params()
+
+
+def test_edcdfm_equal_length_fast_path_matches_interp(rng):
+    """Equal fit/predict lengths collapse EDCDFm's two merge interps to the
+    identity (bitwise-equal Cunnane grids); the shortcut must equal the
+    generic interp path exactly."""
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.quantile import QmrState, edcdfm_predict, qmr_fit
+    from skdownscale_tpu.ops.interp import interp_rows_multi
+    from skdownscale_tpu.ops.cdf import calc_extrapolated_cdf
+    from skdownscale_tpu.models.quantile import _sort_with_positions, _unsort
+
+    n = 137
+    x_fit = jnp.asarray(rng.normal(10, 2, (4, n)))
+    y_fit = jnp.asarray(rng.normal(9, 1.5, (4, n)))
+    x_new = jnp.asarray(rng.normal(10.5, 2, (4, n)))
+    for extrapolate in (None, "both", "min", "max", "1to1"):
+        st = qmr_fit(x_fit, y_fit, extrapolate=extrapolate)
+        got = edcdfm_predict(st, x_new, kind="difference", extrapolate=extrapolate)
+        # generic interp formulation, computed by hand
+        xs, sort_inds = _sort_with_positions(x_new)
+        tc = calc_extrapolated_cdf(xs, sort=False, extrapolate=extrapolate)
+        Xtv, ytv = interp_rows_multi(st.x_pp, (st.x_vals, st.y_vals), tc.pp)
+        want = _unsort((ytv + (tc.vals - Xtv))[..., 1:-1], sort_inds)
+        if extrapolate == "1to1":
+            from skdownscale_tpu.models.quantile import _extrapolate_1to1
+
+            want = _extrapolate_1to1(st, x_new, want)
+        npt.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12)

@@ -117,3 +117,22 @@ def test_registry_daily_uses_streaming(rng):
     npt.assert_allclose(np.asarray(out)[0], np.asarray(ref).ravel(), rtol=1e-8, atol=1e-8)
     attrs = _b.batched_attrs(model, st)
     assert attrs["y_climo_"].shape == (2, 366)
+
+
+def test_registry_monthly_streams_above_threshold(rng, monkeypatch):
+    """Monthly BCSD flips to the streaming formulation above the cell
+    threshold and matches the dense path."""
+    from skdownscale_tpu.models import batched as _b
+
+    idx, x, y = _monthly(rng, n_cells=6)
+    model = B.BcsdTemperature(return_anoms=False)
+    xj = jnp.asarray(x)[..., None]
+    st_dense = _b.batched_fit(model, idx, xj, jnp.asarray(y))
+    assert isinstance(st_dense, B.BcsdState)
+    out_dense = _b.batched_predict(model, st_dense, idx, xj, idx)
+
+    monkeypatch.setattr(_b, "STREAMING_CELL_THRESHOLD", 4)
+    st_lazy = _b.batched_fit(model, idx, xj, jnp.asarray(y))
+    assert isinstance(st_lazy, B.BcsdLazyState)
+    out_lazy = _b.batched_predict(model, st_lazy, idx, xj, idx)
+    npt.assert_allclose(np.asarray(out_lazy), np.asarray(out_dense), rtol=1e-9, atol=1e-9)
