@@ -72,6 +72,21 @@ def _dotT(a, b):
     )
 
 
+def _dot_fast(a, b):
+    """Default-precision (r, n) x (n, m) contraction — for the IRLS sums,
+    where bf16-truncated operands are far inside the logistic fit's own
+    convergence tolerance (unlike the distance matmuls)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dotT_fast(a, b):
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _bisect_kth(bits, target, n_iter=31):
     """Smallest int32 ``t`` (per lane) with ``count(bits <= t) >= target``.
 
@@ -360,49 +375,47 @@ def _make_ar_kernel(f: int, k: int, thresh, idx_iters: int, n_iter: int):
             n_ex = _dot(ex, Sf)  # selected & exceeding count
             kf = jnp.asarray(float(k), dtype)
             eps = jnp.asarray(jnp.finfo(dtype).eps * 10, dtype)
+            ones_row = jnp.ones((1, n), dtype)
+            # loop-invariant row stacks: one matmul each for gradient and
+            # Hessian sums per Newton step (default precision — bf16-level
+            # operand rounding is far inside the fit's 5e-3 tolerance)
+            XbS = jnp.concatenate(x + [ones_row], axis=0)  # (f+1, n)
+            pp_rows = []
+            for j in range(f + 1):
+                for l in range(j, f + 1):
+                    pp_rows.append(XbS[j : j + 1, :] * XbS[l : l + 1, :])
+            PP = jnp.concatenate(pp_rows, axis=0)  # (tri(f+1), n)
             # constant part of the gradient: -C Σ S t xb_i  (t = exceed)
-            gt = [_dot(ex * x[j], Sf) for j in range(f)] + [n_ex]
-            xb = x + [None]  # index f == intercept row (implicit ones)
-
-            def hrow(j, l, h):
-                r = jnp.ones((1, n), dtype)
-                if xb[j] is not None:
-                    r = r * xb[j]
-                if xb[l] is not None:
-                    r = r * xb[l]
-                return _dot(r, h)
+            gt = _dot(XbS * ex, Sf)  # (f+1, mq)
 
             def step(_, beta):
-                z = jnp.zeros((1, mq), dtype)
-                for j in range(f):
-                    z = z + x[j].reshape(n, 1) * 0.0 if False else z
-                # z (n, mq) = Σ_j x_j β_j + b — via one contraction over rows
+                # z (n, mq) = Σ_j x_j β_j + b — one contraction over rows
                 B = jnp.concatenate(
                     [beta[j] for j in range(f)] + [jnp.zeros((_ROWS - f, mq), dtype)],
                     axis=0,
                 )
-                zf = _dotT(Af, B) + beta[f]  # (n, mq)
+                zf = _dotT_fast(Af, B) + beta[f]  # (n, mq)
                 p = jax.nn.sigmoid(zf)
                 Sp = Sf * p
-                h = Sf * p * (1.0 - p)
-                g = []
-                for j in range(f + 1):
-                    gp = _dot(x[j], Sp) if j < f else jnp.sum(Sp, axis=0, keepdims=True)
-                    reg = beta[j] if j < f else jnp.zeros((1, mq), dtype)
-                    g.append(gp - gt[j] + reg)
+                h = Sp * (1.0 - p)
+                gm = _dot_fast(XbS, Sp) - gt  # (f+1, mq)
+                Hm = _dot_fast(PP, h)  # (tri(f+1), mq)
+                g = [
+                    gm[j : j + 1, :] + (beta[j] if j < f else 0.0) for j in range(f + 1)
+                ]
                 if f == 2:
-                    H00 = hrow(0, 0, h) + 1.0 + eps
-                    H01 = hrow(0, 1, h)
-                    H02 = hrow(0, 2, h)
-                    H11 = hrow(1, 1, h) + 1.0 + eps
-                    H12 = hrow(1, 2, h)
-                    H22 = hrow(2, 2, h) + eps
+                    H00 = Hm[0:1, :] + 1.0 + eps
+                    H01 = Hm[1:2, :]
+                    H02 = Hm[2:3, :]
+                    H11 = Hm[3:4, :] + 1.0 + eps
+                    H12 = Hm[4:5, :]
+                    H22 = Hm[5:6, :] + eps
                     d0, d1, d2_ = _solve3(H00, H01, H02, H11, H12, H22, *g)
                     deltas = (d0, d1, d2_)
                 else:  # f == 1
-                    H00 = hrow(0, 0, h) + 1.0 + eps
-                    H01 = hrow(0, 1, h)
-                    H11 = hrow(1, 1, h) + eps
+                    H00 = Hm[0:1, :] + 1.0 + eps
+                    H01 = Hm[1:2, :]
+                    H11 = Hm[2:3, :] + eps
                     deltas = _solve2(H00, H01, H11, *g)
                 return tuple(beta[j] - deltas[j] for j in range(f + 1))
 
@@ -478,6 +491,9 @@ def analog_regression_stats(
             pl.BlockSpec((1, _ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _STAT_ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+        # ~9 live (n_pad, mq) registers (selection + IRLS) exceed the
+        # conservative 16 MB default scoped-vmem budget at n≈4k
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(A, Qa)
     out = jnp.swapaxes(out, 1, 2)[:, :m, :]

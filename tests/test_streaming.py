@@ -136,3 +136,49 @@ def test_registry_monthly_streams_above_threshold(rng, monkeypatch):
     assert isinstance(st_lazy, B.BcsdLazyState)
     out_lazy = _b.batched_predict(model, st_lazy, idx, xj, idx)
     npt.assert_allclose(np.asarray(out_lazy), np.asarray(out_dense), rtol=1e-9, atol=1e-9)
+
+
+def test_streaming_sharded_matches_single_device(rng):
+    """Streaming predict under an 8-device cell mesh == unsharded (the
+    scan's takes/scatters are purely cell-local, so SPMD needs no
+    collectives beyond the final gather)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from skdownscale_tpu.parallel import cell_mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    idx, x, y = _monthly(rng, n_cells=16)
+    model = B.BcsdTemperature(return_anoms=False)
+    fg = model._fit_groups(idx)
+    plan = model._predict_plan(fg, idx)
+
+    single = B.bcsd_predict_streaming(
+        B.bcsd_fit_lazy(jnp.asarray(x), jnp.asarray(y), fg),
+        jnp.asarray(x),
+        plan,
+        variable="temperature",
+        return_anoms=False,
+        group_chunk=3,
+    )
+
+    mesh = cell_mesh(devices[:8])
+    sh = NamedSharding(mesh, P("cells", None))
+    xs = jax.device_put(jnp.asarray(x), sh)
+    ys = jax.device_put(jnp.asarray(y), sh)
+    step = jax.jit(
+        lambda x_, y_: B.bcsd_predict_streaming(
+            B.bcsd_fit_lazy(x_, y_, fg),
+            x_,
+            plan,
+            variable="temperature",
+            return_anoms=False,
+            group_chunk=3,
+        ),
+        in_shardings=(sh, sh),
+        out_shardings=sh,
+    )
+    out = step(xs, ys)
+    npt.assert_allclose(np.asarray(out), np.asarray(single), rtol=1e-12, atol=1e-12)
