@@ -196,7 +196,7 @@ def analog_regression_predict_batched(
     """Cell-batched ``AnalogRegression.predict``: (C, n, f)/(C, n)/(C, m, f)
     -> (C, m, 3).
 
-    On TPU with float32 inputs and 1-2 features this runs the fused Pallas
+    On TPU with float32 inputs and 1-5 features this runs the fused Pallas
     kernel (:func:`~skdownscale_tpu.ops.pallas.knn_kernel.analog_regression_stats`):
     selection, the local weighted-OLS sums, and the per-step logistic
     exceedance fit all happen in VMEM — no distance matrix, no top-k, no
@@ -204,7 +204,7 @@ def analog_regression_predict_batched(
     f = X_train.shape[-1]
     use_kernel = force_kernel
     if use_kernel is None:
-        use_kernel = X_train.dtype == jnp.float32 and f in (1, 2) and k <= 4096
+        use_kernel = X_train.dtype == jnp.float32 and 1 <= f <= 5 and k <= 4096
         if use_kernel:
             try:
                 platform = jax.devices()[0].platform.lower()

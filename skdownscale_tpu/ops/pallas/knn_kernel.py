@@ -314,12 +314,46 @@ def _solve2(H00, H01, H11, g0, g1):
     return (H11 * g0 - H01 * g1) / det, (H00 * g1 - H01 * g0) / det
 
 
-def _make_ar_kernel(f: int, k: int, thresh, idx_iters: int, n_iter: int):
+def _solve_spd(H, g):
+    """Unrolled elementwise Cholesky solve for an SPD system whose entries
+    are (1, mq) lanes: ``H`` is an (n, n) list-of-lists (symmetric), ``g`` a
+    length-n list.  Used for the (f+1)x(f+1) Newton step at f >= 3, where
+    cofactor expansion stops being worth writing out.  The ridge-damped
+    logistic Hessian is SPD by construction, so no pivoting is needed."""
+    n = len(g)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[i][j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = g[i]
+        for p in range(i):
+            s = s - L[i][p] * y[p]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for p in range(i + 1, n):
+            s = s - L[p][i] * x[p]
+        x[i] = s / L[i][i]
+    return tuple(x)
+
+
+def _make_ar_kernel(f: int, k: int, thresh, idx_iters: int, n_iter: int, slab_rows: int):
     """AnalogRegression kernel body: per query, exact rank-k selection, then
     the local weighted-OLS sufficient statistics and (when ``thresh`` is
     set) a full in-VMEM damped-Newton logistic fit replicating
     ``ops.regression.logistic_fit`` on the selected analogs
-    (``gard.py:191-224``).  f in {1, 2} (logistic solve is (f+1)x(f+1))."""
+    (``gard.py:191-224``).  f in {1..5} (slab rows cap f at ``_ROWS - 3``);
+    the (f+1)x(f+1) Newton solve is cofactor-based for f <= 2 and an
+    unrolled elementwise Cholesky (:func:`_solve_spd`) beyond."""
 
     def kernel(a_ref, q_ref, out_ref):
         # (8, n): rows 0..f-1 centered x (CLEAN at pads), f = y raw,
@@ -403,20 +437,25 @@ def _make_ar_kernel(f: int, k: int, thresh, idx_iters: int, n_iter: int):
                 g = [
                     gm[j : j + 1, :] + (beta[j] if j < f else 0.0) for j in range(f + 1)
                 ]
+                # unpack the upper-triangular Hessian rows + ridge damping:
+                # +1 (C=1 L2 penalty) on coef diagonals, +eps everywhere
+                Hd = [[None] * (f + 1) for _ in range(f + 1)]
+                t = 0
+                for j in range(f + 1):
+                    for l in range(j, f + 1):
+                        h = Hm[t : t + 1, :]
+                        if j == l:
+                            h = h + (1.0 + eps if j < f else eps)
+                        Hd[j][l] = Hd[l][j] = h
+                        t += 1
                 if f == 2:
-                    H00 = Hm[0:1, :] + 1.0 + eps
-                    H01 = Hm[1:2, :]
-                    H02 = Hm[2:3, :]
-                    H11 = Hm[3:4, :] + 1.0 + eps
-                    H12 = Hm[4:5, :]
-                    H22 = Hm[5:6, :] + eps
-                    d0, d1, d2_ = _solve3(H00, H01, H02, H11, H12, H22, *g)
-                    deltas = (d0, d1, d2_)
-                else:  # f == 1
-                    H00 = Hm[0:1, :] + 1.0 + eps
-                    H01 = Hm[1:2, :]
-                    H11 = Hm[2:3, :] + eps
-                    deltas = _solve2(H00, H01, H11, *g)
+                    deltas = _solve3(
+                        Hd[0][0], Hd[0][1], Hd[0][2], Hd[1][1], Hd[1][2], Hd[2][2], *g
+                    )
+                elif f == 1:
+                    deltas = _solve2(Hd[0][0], Hd[0][1], Hd[1][1], *g)
+                else:
+                    deltas = _solve_spd(Hd, g)
                 return tuple(beta[j] - deltas[j] for j in range(f + 1))
 
             beta0 = tuple(jnp.zeros((1, mq), dtype) for _ in range(f + 1))
@@ -434,14 +473,17 @@ def _make_ar_kernel(f: int, k: int, thresh, idx_iters: int, n_iter: int):
         rows = stats + [prob]
         for i, r in enumerate(rows):
             out_ref[0, i : i + 1, :] = r
-        pad = _STAT_ROWS - len(rows)
+        pad = slab_rows - len(rows)
         if pad:
             out_ref[0, len(rows) :, :] = jnp.zeros((pad, mq), dtype)
 
     return kernel
 
 
-_STAT_ROWS = 16
+def _stat_slab_rows(f: int) -> int:
+    """Output slab height: stat rows + prob row, padded up to the f32
+    sublane tile (8)."""
+    return -(-(_n_stat_rows(f) + 1) // 8) * 8
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thresh", "n_iter", "mq", "interpret"))
@@ -461,8 +503,8 @@ def analog_regression_stats(
     dtype = jnp.float32
     if X_train.dtype != dtype:
         raise ValueError("analog_regression_stats is float32-only")
-    if f not in (1, 2):
-        raise ValueError("kernel supports 1 or 2 features")
+    if not 1 <= f <= _ROWS - 3:
+        raise ValueError(f"kernel supports 1..{_ROWS - 3} features, got {f}")
 
     n_pad = -(-n // 128) * 128
     m_pad = -(-m // mq) * mq
@@ -481,16 +523,17 @@ def analog_regression_stats(
     Qa = jnp.zeros((C, _ROWS, m_pad), dtype)
     Qa = Qa.at[:, :f, :m].set(jnp.swapaxes(Xq - mu, 1, 2))
 
-    kernel = _make_ar_kernel(f, k, thresh, idx_iters, n_iter)
+    slab_rows = _stat_slab_rows(f)
+    kernel = _make_ar_kernel(f, k, thresh, idx_iters, n_iter, slab_rows)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((C, _STAT_ROWS, m_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((C, slab_rows, m_pad), dtype),
         grid=(C, m_pad // mq),
         in_specs=[
             pl.BlockSpec((1, _ROWS, n_pad), lambda c, q: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _STAT_ROWS, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, slab_rows, mq), lambda c, q: (c, 0, q), memory_space=pltpu.VMEM),
         # ~9 live (n_pad, mq) registers (selection + IRLS) exceed the
         # conservative 16 MB default scoped-vmem budget at n≈4k
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

@@ -76,7 +76,7 @@ def test_kernel_all_below_threshold(rng):
 
 
 @pytest.mark.parametrize("thresh", [None, 13.0])
-@pytest.mark.parametrize("f", [1, 2])
+@pytest.mark.parametrize("f", [1, 2, 3, 5])
 def test_analog_regression_kernel_matches_gather_path(rng, thresh, f):
     from skdownscale_tpu.models.gard import (
         analog_regression_predict,
