@@ -22,7 +22,12 @@ from skdownscale_tpu.models.quantile import (
 from skdownscale_tpu.models.trend import LinearTrendTransformer
 from skdownscale_tpu.models.zscore import ZScoreRegressor
 from skdownscale_tpu.pointwise import PointWiseDownscaler
-from skdownscale_tpu import xlite
+from skdownscale_tpu import global_models, xlite
+from skdownscale_tpu.global_models import (
+    GlobalDownscaler,
+    GlobalLinearRegressor,
+    GlobalQuantileMapper,
+)
 
 __version__ = "0.1.0"
 
@@ -46,4 +51,10 @@ __all__ = [
     "LinearTrendTransformer",
     "ZScoreRegressor",
     "xlite",
+    # beyond reference parity: the roadmap's unbuilt global_models component
+    # (/root/reference/docs/roadmap.rst:59-65)
+    "global_models",
+    "GlobalDownscaler",
+    "GlobalLinearRegressor",
+    "GlobalQuantileMapper",
 ]
