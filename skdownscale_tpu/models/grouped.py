@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interp import interp_rows
-from ..ops.ranks import self_quantiles
 from ..ops.regression import ols_1d
 from ..utils.timeindex import PaddedGroups
 
@@ -80,15 +79,18 @@ def scatter_groups(vals_flat, groups: PaddedGroups, n: int):
     return out.at[..., flat_idx].add(contrib)
 
 
-def _padded_pp(groups: PaddedGroups, alpha: float, beta: float) -> np.ndarray:
-    """Host-computed Cunnane plotting positions per group, flat (G*L,);
-    padding repeats the last valid position (monotone table with zero pad
-    slope)."""
-    G, L = groups.indices.shape
+def _padded_pp_from_counts(counts, L: int, alpha: float, beta: float) -> np.ndarray:
+    """Host Cunnane plotting positions (G, L) from per-group counts; padding
+    repeats the last valid position (monotone table with zero pad slope)."""
     i = np.arange(1, L + 1, dtype=np.float64)[None, :]
-    n = groups.counts.astype(np.float64)[:, None]
-    pp = (np.minimum(i, np.maximum(n, 1)) - alpha) / (n + 1.0 - alpha - beta)
-    return pp.reshape(-1)
+    n = np.asarray(counts, np.float64)[:, None]
+    return (np.minimum(i, np.maximum(n, 1)) - alpha) / (n + 1.0 - alpha - beta)
+
+
+def _padded_pp(groups: PaddedGroups, alpha: float, beta: float) -> np.ndarray:
+    """Flat (G*L,) flavor of :func:`_padded_pp_from_counts`."""
+    G, L = groups.indices.shape
+    return _padded_pp_from_counts(groups.counts, L, alpha, beta).reshape(-1)
 
 
 def _sort_within_groups(vflat, groups: PaddedGroups):
@@ -140,6 +142,115 @@ def cunnane_fit_padded(
     vals = _sort_within_groups(masked, groups)
     pp = jnp.asarray(_padded_pp(groups, alpha, beta), dtype)
     return GroupedCdf(pp, vals, slope, intercept)
+
+
+def _rank_bracket_row(fg: np.ndarray, qv: np.ndarray):
+    """Host-side rank-bracket interp plan for ONE group.
+
+    Both the query plotting-position grid ``qv`` (Lq,) and the fit knot grid
+    ``fg`` (nf valid knots, strictly increasing) are pure functions of
+    (rank, count) — so the bracketing knot indices, the nearer-knot lerp
+    weights, and the clamp/tail regions of ``ops.interp.interp_ramp``'s
+    semantics are all data-independent.  Returns
+    ``(lo, hi, w0, w1, right, below, above)`` with shapes (Lq,).
+    """
+    nf = len(fg)
+    below = qv < fg[0]
+    above = qv > fg[nf - 1]
+    lo = np.clip(np.searchsorted(fg, qv, side="right") - 1, 0, nf - 1)
+    hi = np.minimum(lo + 1, nf - 1)
+    lo = np.where(below, 0, np.where(above, nf - 1, lo))
+    hi = np.where(below, 0, np.where(above, nf - 1, hi))
+    x0 = fg[lo]
+    x1 = fg[hi]
+    dx = x1 - x0
+    dxs = np.where(dx != 0, dx, 1.0)
+    inner = ~(below | above) & (dx != 0)
+    w0 = np.where(inner, (qv - x0) / dxs, 0.0)
+    w1 = np.where(inner, (qv - x1) / dxs, 0.0)
+    right = ~(below | above) & ((qv - x0) > (x1 - qv))
+    return lo, hi, w0, w1, right, below, above
+
+
+def rank_bracket_tables(
+    fit_counts: np.ndarray,
+    q_pp: np.ndarray,
+    Lt: int,
+    *,
+    alpha: float,
+    beta: float,
+):
+    """Stacked host rank-bracket plans for G groups.
+
+    ``fit_counts``: (G,) valid fit knots per group; ``q_pp``: (G, Lq) query
+    rank plotting positions.  The fit knot grid is reconstructed from the
+    Cunnane formula (``_padded_pp``), which is how every fit table in this
+    module was built.  Returns dict of (G, Lq) arrays plus flat take
+    indices (G*Lq,) into a (G*Lt) value table.
+    """
+    G, Lq = q_pp.shape
+    lo = np.zeros((G, Lq), np.int64)
+    hi = np.zeros((G, Lq), np.int64)
+    w0 = np.zeros((G, Lq), np.float64)
+    w1 = np.zeros((G, Lq), np.float64)
+    right = np.zeros((G, Lq), bool)
+    below = np.zeros((G, Lq), bool)
+    above = np.zeros((G, Lq), bool)
+    for g in range(G):
+        nf = int(fit_counts[g])
+        if nf <= 0:
+            continue
+        i = np.arange(1, nf + 1, dtype=np.float64)
+        fg = (i - alpha) / (nf + 1.0 - alpha - beta)
+        lo[g], hi[g], w0[g], w1[g], right[g], below[g], above[g] = _rank_bracket_row(
+            fg, np.asarray(q_pp[g], np.float64)
+        )
+    g_off = (np.arange(G) * Lt)[:, None]
+    return {
+        "lo_flat": (g_off + lo).reshape(-1).astype(np.int32),
+        "hi_flat": (g_off + hi).reshape(-1).astype(np.int32),
+        "w0": w0,
+        "w1": w1,
+        "right": right,
+        "below": below,
+        "above": above,
+    }
+
+
+def _rank_fill_unsort(res, sv, spos, region):
+    """Exact np.interp tie semantics for rank-indexed mapped values: all
+    members of a tie run take the run END's mapped value (the last tied
+    slot's pp — ``ops.ranks.self_quantiles``), NaN queries stay NaN.
+    ``res``/``sv``/``spos``/``region``: (rows, L) rank-ordered; ``region``
+    is int32 0/1/2 (lo-tail / interior / hi-tail), non-decreasing per row.
+    Returns original-order (rows, L).
+
+    The fill ("value at the first run-end >= r") is built from native
+    ``lax.cummin`` only: F is monotone non-decreasing *within* each region
+    (CDF interp between monotone knots; tail OLS lines over non-decreasing
+    knots have slope >= 0), so a per-region reverse running-min over run-end
+    values is exact, and the governing run-end's region is itself a reverse
+    running-min (region is monotone along ranks).  A general
+    ``associative_scan`` segmented-fill also works but its unrolled
+    slice/concat levels made the TPU AOT compile ~20 min for this op alone
+    and OOM-killed the helper inside the full predict program."""
+    inf = jnp.asarray(jnp.inf, res.dtype)
+    isn = jnp.isnan(sv)
+    run_end = jnp.concatenate(
+        [sv[:, 1:] != sv[:, :-1], jnp.ones((sv.shape[0], 1), bool)], axis=1
+    )
+    live_end = run_end & ~isn
+    re_region = jax.lax.cummin(
+        jnp.where(live_end, region, jnp.int32(3)), axis=1, reverse=True
+    )
+    out = None
+    for R in range(3):
+        key = jnp.where(live_end & (region == R), res, inf)
+        fill_R = jax.lax.cummin(key, axis=1, reverse=True)
+        out = fill_R if out is None else jnp.where(re_region == R, fill_R, out)
+    out = jnp.where(isn, sv, out)
+    _, res_o = jax.lax.sort((spos, out), num_keys=1, is_stable=True, dimension=1)
+    return res_o
 
 
 def _tail_windows(counts: np.ndarray, L: int, n_endpoints: int):
@@ -260,6 +371,10 @@ def grouped_qm_transform(
 
     ``fit_counts``/``fit_valid_flat``: host count vector / flat (G*Lt,)
     validity mask of the *fit* tables (aligned to this partition's rows).
+
+    ``alpha``/``beta`` must be the pair the fit CDF was built with (the fit
+    pp grid is reconstructed from them host-side for the rank-bracket plan);
+    BCSD uses a single pair throughout, as the reference does.
     """
     dtype = x.dtype
     xg_raw = gather_groups(x, groups, fill=0.0)
@@ -268,18 +383,61 @@ def grouped_qm_transform(
         xg = xg_raw - _trend_line_flat(slope, intercept, groups, dtype)
     else:
         xg = xg_raw
-    # fit_transform-on-self == rank plotting positions (no interp; see
-    # ops.ranks) — self-queries are never out of the fresh CDF's range, so
-    # the reference's tail extrapolation can't trigger here
+    # fit_transform-on-self == rank plotting positions, and the inverse
+    # interp of a rank pp through the fit pp grid is bracket-determined by
+    # (rank, counts) alone — so the whole vals->pp->vals chain collapses to
+    # one rank sort plus host-precomputed takes (rank_bracket_tables); the
+    # sort-merge interp and its two wide payload sorts disappear.
     G, L = groups.indices.shape
+    Lt = fit_cdf.vals.shape[-1] // G
     masked = jnp.where(jnp.asarray(groups.mask.reshape(-1)), xg, jnp.inf)
-    pp_flat = jnp.asarray(_padded_pp(groups, alpha, beta), x.dtype)
     lead = xg.shape[:-1]
-    pps = self_quantiles(
-        masked.reshape(*lead, G, L), pp_flat.reshape(G, L)
-    ).reshape(*lead, G * L)
-    mapped = cunnane_inverse_padded(
-        fit_cdf, pps, groups, fit_counts, fit_valid_flat, extrapolate, n_endpoints
+    q_pp_host = _padded_pp(groups, alpha, beta).reshape(G, L)
+    rb = rank_bracket_tables(fit_counts, q_pp_host, Lt, alpha=alpha, beta=beta)
+
+    rows = masked.reshape(-1, L)
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), rows.shape)
+    sv, spos = jax.lax.sort((rows, pos), num_keys=1, is_stable=True, dimension=1)
+
+    vals_b = jnp.broadcast_to(fit_cdf.vals, (*lead, G * Lt))
+    f0 = vals_b[..., jnp.asarray(rb["lo_flat"])]  # static takes, (..., G*L)
+    f1 = vals_b[..., jnp.asarray(rb["hi_flat"])]
+    df = f1 - f0
+    w0 = jnp.asarray(rb["w0"].reshape(-1), dtype)
+    w1 = jnp.asarray(rb["w1"].reshape(-1), dtype)
+    res = jnp.where(
+        jnp.asarray(rb["right"].reshape(-1)), f1 + w1 * df, f0 + w0 * df
+    )
+
+    if extrapolate in ("min", "max", "both"):
+        ne, w_lo, hi_cols, w_hi = _tail_windows(fit_counts, Lt, n_endpoints)
+        # host tail knot positions (pp grid is the Cunnane formula; repeat
+        # the last valid pp at padded slots, matching _padded_pp)
+        fpp = _padded_pp_from_counts(fit_counts, Lt, alpha, beta)  # (G, Lt)
+        valid = jnp.asarray(fit_valid_flat).reshape(G, Lt)
+        vals3 = vals_b.reshape(*lead, G, Lt)
+        v_last = jnp.max(jnp.where(valid, vals3, -jnp.inf), axis=-1, keepdims=True)
+        vals_tab = jnp.where(valid, vals3, v_last)
+        qpp_dev = jnp.asarray(q_pp_host, dtype)  # (G, L)
+        if extrapolate in ("min", "both"):
+            lo_px = jnp.asarray(fpp[:, :ne], dtype)
+            lo_s, lo_i = ols_1d(lo_px, vals_tab[..., :ne], jnp.asarray(w_lo, dtype))
+            line = (lo_i[..., None] + lo_s[..., None] * qpp_dev).reshape(*lead, G * L)
+            res = jnp.where(jnp.asarray(rb["below"].reshape(-1)), line, res)
+        if extrapolate in ("max", "both"):
+            g_idx = np.arange(G)[:, None]
+            hi_px = jnp.asarray(np.take_along_axis(fpp, hi_cols, axis=1), dtype)
+            hy = vals_tab[..., g_idx, hi_cols]  # (..., G, ne) static gather
+            hi_s, hi_i = ols_1d(hi_px, hy, jnp.asarray(w_hi, dtype))
+            line = (hi_i[..., None] + hi_s[..., None] * qpp_dev).reshape(*lead, G * L)
+            res = jnp.where(jnp.asarray(rb["above"].reshape(-1)), line, res)
+
+    region_host = np.where(rb["below"], 0, np.where(rb["above"], 2, 1)).astype(np.int32)
+    region = jnp.broadcast_to(
+        jnp.asarray(region_host.reshape(-1)), (*lead, G * L)
+    ).reshape(-1, L)
+    mapped = _rank_fill_unsort(res.reshape(-1, L), sv, spos, region).reshape(
+        *lead, G * L
     )
     if detrend:
         mapped = mapped + _trend_line_flat(slope, intercept, groups, dtype)

@@ -39,11 +39,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import interp_rows
-from ..ops.ranks import self_quantiles
 from ..ops.regression import ols_1d
 from ..utils.timeindex import PaddedGroups
-from .grouped import _padded_pp
+from .grouped import _padded_pp, _rank_bracket_row, _rank_fill_unsort
 
 __all__ = ["StreamTables", "build_stream_tables", "streaming_qm_transform"]
 
@@ -72,6 +70,18 @@ class StreamTables(NamedTuple):
     q_mask: np.ndarray  # (NC, Gc, Lq) bool
     q_pp: np.ndarray  # (NC, Gc, Lq)
     trend_cols: np.ndarray  # (NC, Gc) int32 — fit-group column into state trend arrays
+    # rank-bracket interp tables: the query pp grid and the fit pp grid are
+    # both pure functions of (rank, count), and counts are host data — so
+    # each query RANK's bracketing knot indices, lerp weights, anchor side,
+    # and tail-region membership are precomputable.  The per-chunk interp
+    # then needs no searching and no sort-merge: two takes and one fma.
+    rb_lo: np.ndarray  # (NC, Gc*Lq) int32 — flat lower-knot index into (Gc*Lt)
+    rb_hi: np.ndarray  # (NC, Gc*Lq) int32 — flat upper-knot index
+    rb_w0: np.ndarray  # (NC, Gc, Lq) left-anchor lerp weight (q-x0)/dx
+    rb_w1: np.ndarray  # (NC, Gc, Lq) right-anchor lerp weight (q-x1)/dx
+    rb_right: np.ndarray  # (NC, Gc, Lq) bool — anchor from the nearer knot
+    rb_lo_m: np.ndarray  # (NC, Gc, Lq) bool — rank pp below the first fit pp
+    rb_hi_m: np.ndarray  # (NC, Gc, Lq) bool — rank pp above the last fit pp
 
 
 def build_stream_tables(
@@ -136,6 +146,37 @@ def build_stream_tables(
     q_pp = np.full((Gp, Lq), 0.5, dtype)
     q_pp[:Gt] = np.asarray(_padded_pp(transform, alpha, beta), dtype).reshape(Gt, Lq)
 
+    # --- rank-bracket interp tables -------------------------------------
+    # The sorted query at rank r carries pp q_pp[g, r]; its bracket inside
+    # the fit pp grid (and the lerp weights, nearer-knot anchor, and the
+    # clamp/tail regions of ops.interp.interp_ramp's semantics) depend only
+    # on (r, query count, fit count) — all host data.
+    rb_lo = np.zeros((Gp, Lq), np.int64)
+    rb_hi = np.zeros((Gp, Lq), np.int64)
+    rb_w0 = np.zeros((Gp, Lq), np.float64)
+    rb_w1 = np.zeros((Gp, Lq), np.float64)
+    rb_right = np.zeros((Gp, Lq), bool)
+    rb_lo_m = np.zeros((Gp, Lq), bool)
+    rb_hi_m = np.zeros((Gp, Lq), bool)
+    for g in range(Gp):
+        nf = int(counts[g])
+        if nf <= 0:
+            continue
+        fg = np.asarray(fit_pp[g, :nf], np.float64)
+        qv = np.asarray(q_pp[g], np.float64)
+        (
+            rb_lo[g],
+            rb_hi[g],
+            rb_w0[g],
+            rb_w1[g],
+            rb_right[g],
+            rb_lo_m[g],
+            rb_hi_m[g],
+        ) = _rank_bracket_row(fg, qv)
+    g_in_chunk = (np.arange(Gp) % Gc)[:, None]
+    rb_lo_flat = (g_in_chunk * Lt + rb_lo).astype(np.int32)
+    rb_hi_flat = (g_in_chunk * Lt + rb_hi).astype(np.int32)
+
     def C(a, shape):  # chunk-stack
         return np.ascontiguousarray(a.reshape(NC, *shape))
 
@@ -154,6 +195,13 @@ def build_stream_tables(
         q_mask=C(q_mask, (Gc, Lq)),
         q_pp=C(q_pp, (Gc, Lq)),
         trend_cols=C(rows.astype(np.int32), (Gc,)),
+        rb_lo=C(rb_lo_flat, (Gc * Lq,)),
+        rb_hi=C(rb_hi_flat, (Gc * Lq,)),
+        rb_w0=C(rb_w0.astype(dtype), (Gc, Lq)),
+        rb_w1=C(rb_w1.astype(dtype), (Gc, Lq)),
+        rb_right=C(rb_right, (Gc, Lq)),
+        rb_lo_m=C(rb_lo_m, (Gc, Lq)),
+        rb_hi_m=C(rb_hi_m, (Gc, Lq)),
     )
 
 
@@ -218,7 +266,11 @@ def streaming_qm_transform(
             masked = jnp.where(fit_mask, src, inf)
             svals = jnp.sort(masked.reshape(-1, Lt), axis=-1).reshape(*lead, Gc, Lt)
 
-        # -- queries -> self plotting positions -------------------------
+        # -- queries: rank-bracket map through the fit CDF ----------------
+        # (quantile.py:523-545 semantics).  One payload sort recovers each
+        # query's rank; the bracketing knots, lerp weights, and tail-region
+        # membership at every rank are host tables (rb_*), so the interp
+        # itself is two takes + one fma — no sort-merge, no searching.
         xq = jnp.take(x, tab.q_take, axis=-1).reshape(*lead, Gc, Lq)
         if detrend:
             qw = tab.q_mask.astype(dtype)
@@ -226,15 +278,19 @@ def streaming_qm_transform(
             q_line = q_slope[..., None] * jnp.arange(Lq, dtype=dtype) + q_intercept[..., None]
             xq = xq - q_line
         mq = jnp.where(tab.q_mask, xq, inf)
-        pps = self_quantiles(mq, tab.q_pp)  # (..., Gc, Lq)
+        rows_q = mq.reshape(-1, Lq)
+        pos = jnp.broadcast_to(jnp.arange(Lq, dtype=jnp.int32), rows_q.shape)
+        sv, spos = jax.lax.sort((rows_q, pos), num_keys=1, is_stable=True, dimension=1)
 
-        # -- inverse through the fit CDF (pp -> vals), quantile.py:523-545
-        pp_tab = jnp.where(fit_mask, tab.fit_pp, inf)
         v_last = jnp.max(jnp.where(fit_mask, svals, -inf), axis=-1, keepdims=True)
         vals_tab = jnp.where(fit_mask, svals, v_last)
-        res = interp_rows(
-            jnp.broadcast_to(pp_tab, (*lead, Gc, Lt)), vals_tab, pps
-        )
+
+        sflat = svals.reshape(*lead, Gc * Lt)
+        f0 = jnp.take(sflat, tab.rb_lo, axis=-1).reshape(*lead, Gc, Lq)
+        f1 = jnp.take(sflat, tab.rb_hi, axis=-1).reshape(*lead, Gc, Lq)
+        df = f1 - f0
+        res = jnp.where(tab.rb_right, f1 + tab.rb_w1 * df, f0 + tab.rb_w0 * df)
+
         if extrapolate in ("min", "both"):
             # vals_tab (finite pads), not svals: 0-weight pad slots would
             # otherwise contribute 0*inf = NaN to the weighted OLS sums
@@ -243,7 +299,7 @@ def streaming_qm_transform(
                 jnp.broadcast_to(tab.lo_px, lo_py.shape), lo_py, tab.lo_w
             )
             res = jnp.where(
-                pps < tab.lo_edge, lo_i[..., None] + lo_s[..., None] * pps, res
+                tab.rb_lo_m, lo_i[..., None] + lo_s[..., None] * tab.q_pp, res
             )
         if extrapolate in ("max", "both"):
             hi_py = jnp.take(vals_tab.reshape(*lead, Gc * Lt), tab.hi_pos, axis=-1).reshape(
@@ -253,8 +309,17 @@ def streaming_qm_transform(
                 jnp.broadcast_to(tab.hi_px, hi_py.shape), hi_py, tab.hi_w
             )
             res = jnp.where(
-                pps > tab.hi_edge, hi_i[..., None] + hi_s[..., None] * pps, res
+                tab.rb_hi_m, hi_i[..., None] + hi_s[..., None] * tab.q_pp, res
             )
+
+        # exact np.interp tie semantics + unsort (see grouped._rank_fill_unsort)
+        region = jnp.where(tab.rb_lo_m, 0, jnp.where(tab.rb_hi_m, 2, 1)).astype(
+            jnp.int32
+        )
+        region = jnp.broadcast_to(region, (*lead, Gc, Lq)).reshape(-1, Lq)
+        res = _rank_fill_unsort(res.reshape(-1, Lq), sv, spos, region).reshape(
+            *lead, Gc, Lq
+        )
 
         if detrend:
             res = res + q_line

@@ -106,3 +106,30 @@ def test_quantile_mappers_dict_functional(skref, monthly_data):
         o = ours.quantile_mappers_[key].x_cdf_fit_.cdf_
         npt.assert_allclose(o.pp, r.pp, rtol=1e-12)
         npt.assert_allclose(o.vals, r.vals, rtol=1e-9)
+
+
+def test_bcsd_temperature_tied_values_golden(skref, rng):
+    """Quantized (heavily tied) series: the rank-bracket interp's tie fill
+    must reproduce the reference's np.interp semantics (all tied queries map
+    through the last tied slot's plotting position) exactly, including tie
+    runs that straddle the interior/tail-extrapolation boundary."""
+    idx = pd.date_range("1985-01-01", "2004-12-01", freq="MS")
+    n = len(idx)
+    seasonal = 10 * np.sin(2 * np.pi * (idx.month.values - 1) / 12)
+    # round to whole degrees: ~30 distinct values per month group of 20
+    X = pd.DataFrame(
+        {"t": np.round(283 + seasonal + rng.normal(0, 2, n) + 1.5)}, index=idx
+    )
+    y = pd.DataFrame({"t": np.round(282 + seasonal + rng.normal(0, 1.8, n))}, index=idx)
+    idx_f = pd.date_range("2050-01-01", "2059-12-01", freq="MS")
+    sf = 10 * np.sin(2 * np.pi * (idx_f.month.values - 1) / 12)
+    # +3 shift pushes many queries past the fitted CDF's last knot (hi tail)
+    Xf = pd.DataFrame(
+        {"t": np.round(286 + sf + rng.normal(0, 2.5, len(idx_f)) + 1.5)}, index=idx_f
+    )
+    ref = skref.BcsdTemperature(return_anoms=False).fit(X, y)
+    ours = BcsdTemperature(return_anoms=False).fit(X, y)
+    for Xq in (X, Xf):
+        r = ref.predict(Xq)
+        o = ours.predict(Xq)
+        npt.assert_allclose(o.to_numpy(), np.asarray(r).reshape(o.shape), rtol=1e-6, atol=1e-8)
