@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..ops.interp import interp_rows
+from ..ops.interp import interp_rows, interp_sortmerge
 
 __all__ = [
     "GlobalQuantileState",
@@ -187,11 +187,12 @@ class GlobalQuantileMapper:
         return self
 
     def _map(self, V, src, dst):
+        # one SHARED monotone table maps every cell: flatten all queries
+        # into a single row and sort-merge once — O((C*T + Q) log) on every
+        # platform, where a per-cell-row dense formulation is O(C*T*Q)
         V = self._grid(V)
-        C = V.shape[0]
-        xp = jnp.broadcast_to(src[None, :], (C, src.shape[0]))
-        fp = jnp.broadcast_to(dst[None, :], (C, dst.shape[0]))
-        out = interp_rows(xp, fp, V.astype(src.dtype))
+        flat = V.astype(src.dtype).reshape(1, -1)
+        out = interp_sortmerge(src[None, :], dst[None, :], flat).reshape(V.shape)
         return jnp.where(jnp.isfinite(V), out, jnp.nan)
 
     def transform(self, X):
