@@ -182,3 +182,38 @@ def test_streaming_sharded_matches_single_device(rng):
     )
     out = step(xs, ys)
     npt.assert_allclose(np.asarray(out), np.asarray(single), rtol=1e-12, atol=1e-12)
+
+
+def test_nan_queries_propagate_and_stay_local(rng):
+    """A NaN predict-time value must come out NaN without perturbing any
+    other time step (rank-bracket path: NaN queries sort last, each its own
+    tie run, excluded from every region fill)."""
+    idx, x, y = _monthly(rng)
+    model = B.BcsdTemperature(return_anoms=True)
+    fg = model._fit_groups(idx)
+    plan = model._predict_plan(fg, idx)
+    state = B.bcsd_fit(jnp.asarray(x), jnp.asarray(y), fg, with_x_climo=True)
+    clean = np.asarray(
+        B.bcsd_predict(state, jnp.asarray(x), plan, variable="temperature", return_anoms=True)
+    )
+    x_nan = x.copy()
+    x_nan[1, 37] = np.nan
+    outs = []
+    for fn in (
+        lambda s, xx: B.bcsd_predict(s, xx, plan, variable="temperature", return_anoms=True),
+        lambda s, xx: B.bcsd_predict_streaming(
+            s, xx, plan, variable="temperature", return_anoms=True, group_chunk=5
+        ),
+    ):
+        out = np.asarray(fn(state, jnp.asarray(x_nan)))
+        assert np.isnan(out[1, 37])
+        # cells != 1 bitwise identical to the clean run (NaN stays cell-local)
+        npt.assert_array_equal(out[0], clean[0])
+        npt.assert_array_equal(out[2:], clean[2:])
+        # within cell 1 the NaN spreads through the same-month rolling
+        # climate-trend windows (reference semantics), but never takes over
+        # steps of other months far from the edge quirks
+        assert np.isfinite(out[1]).sum() > 0.8 * out.shape[1]
+        outs.append(out)
+    # the real invariant: dense and streaming treat NaN queries identically
+    npt.assert_allclose(outs[0], outs[1], rtol=1e-12, atol=1e-12)
