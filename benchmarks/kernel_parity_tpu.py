@@ -51,18 +51,23 @@ def main():
             worst = max(worst, float(d))
             print(f"pure_analog {kind:15s} thresh={thresh}: max|diff| = {d:.2e}")
 
-    for thresh in (None, 13.0):
-        got = np.asarray(
-            analog_regression_predict_batched(Xt, yt, Xq, k=k, thresh=thresh, force_kernel=True)
-        )
-        want = np.asarray(
-            jax.vmap(
-                lambda a, b, c: analog_regression_predict(a, b, c, k=k, thresh=thresh)
-            )(Xt, yt, Xq)
-        )
-        d = np.nanmax(np.abs(np.nan_to_num(got, nan=-1) - np.nan_to_num(want, nan=-1)))
-        worst = max(worst, float(d))
-        print(f"analog_regression thresh={thresh}: max|diff| = {d:.2e}")
+    for fa in (2, 3, 5):  # 3/5 exercise the Cholesky Newton solve
+        Xtf = jnp.asarray(rng.normal(10, 3, (C, n, fa)).astype(np.float32))
+        Xqf = jnp.asarray(rng.normal(10, 3, (C, m, fa)).astype(np.float32))
+        for thresh in (None, 13.0):
+            got = np.asarray(
+                analog_regression_predict_batched(
+                    Xtf, yt, Xqf, k=k, thresh=thresh, force_kernel=True
+                )
+            )
+            want = np.asarray(
+                jax.vmap(
+                    lambda a, b, c: analog_regression_predict(a, b, c, k=k, thresh=thresh)
+                )(Xtf, yt, Xqf)
+            )
+            d = np.nanmax(np.abs(np.nan_to_num(got, nan=-1) - np.nan_to_num(want, nan=-1)))
+            worst = max(worst, float(d))
+            print(f"analog_regression f={fa} thresh={thresh}: max|diff| = {d:.2e}")
 
     assert worst < 5e-3, f"on-chip kernel divergence {worst}"
     print("ON-CHIP KERNEL PARITY OK, worst", worst)
