@@ -29,9 +29,18 @@ def _knn_block(train, tn, queries, k: int, approx: bool = False):
         diff = queries[:, None, :] - train[None, :, :]  # (m, n, f)
         d2 = jnp.sum(diff * diff, axis=-1)
     else:
-        # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU matmul
+        # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is an MXU
+        # matmul.  precision=HIGHEST: the default TPU matmul truncates
+        # operands toward bf16, whose ~8-bit mantissa perturbs the cross
+        # term by ~|q||t|/256 — far larger than near-tie distance gaps on
+        # centered data (callers center; see knn()).
         qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (m, 1)
-        cross = queries @ train.T  # (m, n)
+        cross = jax.lax.dot_general(
+            queries,
+            train,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (m, n)
         d2 = qn - 2.0 * cross + tn[None, :]
     d2 = jnp.maximum(d2, 0.0)
     if approx:
@@ -62,6 +71,13 @@ def knn(train, queries, k: int, *, return_distance: bool = True, query_chunk: in
     (dist, inds) : ((m, k), (m, k)) — ascending by distance — or just inds
     if ``return_distance=False``.
     """
+    # center on the training mean: distances are translation-invariant, and
+    # centering shrinks |t|^2/|q|^2 to the data's spread so the expanded
+    # form's cancellation error sits far below near-tie gaps (the raw form
+    # on ~300 K climate values loses ~7 digits and flips neighbor sets)
+    mu = jnp.mean(train, axis=0, keepdims=True)
+    train = train - mu
+    queries = queries - mu
     tn = jnp.sum(train * train, axis=-1)  # (n,)
     m = queries.shape[0]
     if query_chunk is None or m <= query_chunk:

@@ -194,7 +194,14 @@ def _make_kernel(f: int, k: int, kind: str, thresh, idx_iters: int):
         elif kind == "weight_analogs":
             dist = jnp.sqrt(d2)
             tiny = jnp.asarray(1e-20, dtype)
-            SW = Sf / jnp.where(dist == 0, tiny, dist)
+            # unselected slots MUST divide by a finite denominator: pad
+            # columns carry d2 = inf, and the MXU's HIGHEST-precision
+            # multi-pass product turns the BIG*BIG pad term into NaN on real
+            # hardware (inf - inf in the error-correction passes), where
+            # 0/NaN = NaN would poison the row sums.  Selected slots are
+            # real training points with finite distances.
+            denom = jnp.where(S, jnp.where(dist == 0, tiny, dist), 1.0)
+            SW = Sf / denom
             pred = _dot(yrow, SW) / jnp.sum(SW, axis=0, keepdims=True)
             if thresh is not None:
                 pred = jnp.where(n_below > 0, 0.0, pred)
