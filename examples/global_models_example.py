@@ -46,7 +46,6 @@ def main():
     gd = sdt.GlobalDownscaler(sdt.GlobalQuantileMapper(n_quantiles=1024), sharding=mesh)
     gd.fit(X, Y)
     out = np.asarray(gd.transform(X).data)  # (y, x, time)
-    v = np.isfinite(obs[0])
     bias_before = np.nanmean(gcm - obs)
     bias_after = np.nanmean(np.moveaxis(out, -1, 0) - obs)
     print(f"pooled QM   bias: {bias_before:+7.3f} -> {bias_after:+7.3f}")

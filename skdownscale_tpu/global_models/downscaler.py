@@ -15,12 +15,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..parallel.mesh import cell_sharding, pad_to_multiple
+from ..xlite import is_dataarray as _is_dataarray
 
 __all__ = ["GlobalDownscaler"]
-
-
-def _is_dataarray(X):
-    return hasattr(X, "dims") and hasattr(X, "data")
 
 
 class GlobalDownscaler:

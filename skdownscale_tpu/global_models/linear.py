@@ -41,6 +41,11 @@ import numpy as np
 
 from ..ops.regression import _psolve
 
+# the default TPU matmul truncates f32 operands toward bf16 (~8-bit
+# mantissa); the pooled sufficient statistics feed a direct solve, so keep
+# the contractions at full precision
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 __all__ = ["GlobalLinearState", "GlobalLinearRegressor", "global_linear_fit", "global_linear_predict"]
 
 
@@ -80,8 +85,8 @@ def global_linear_fit(X, y, *, cell_intercepts: bool = False) -> GlobalLinearSta
         # of NaN-poisoning the contraction
         Xc = (Xz - xm[:, None, :]) * w[..., None]
         yc = (yz - ym[:, None]) * w
-        G = jnp.einsum("cti,ctj->ij", Xc, Xc)
-        b = jnp.einsum("cti,ct->i", Xc, yc)
+        G = jnp.einsum("cti,ctj->ij", Xc, Xc, precision=_HIGHEST)
+        b = jnp.einsum("cti,ct->i", Xc, yc, precision=_HIGHEST)
         coef = _psolve(G, b)
         cell_intercept = jnp.where(wc > 0, ym - xm @ coef, jnp.nan)
         intercept = jnp.zeros((), dtype)
@@ -90,8 +95,8 @@ def global_linear_fit(X, y, *, cell_intercepts: bool = False) -> GlobalLinearSta
         ym = jnp.sum(yz * w) / n_safe
         Xc = (Xz - xm) * w[..., None]
         yc = (yz - ym) * w
-        G = jnp.einsum("cti,ctj->ij", Xc, Xc)
-        b = jnp.einsum("cti,ct->i", Xc, yc)
+        G = jnp.einsum("cti,ctj->ij", Xc, Xc, precision=_HIGHEST)
+        b = jnp.einsum("cti,ct->i", Xc, yc, precision=_HIGHEST)
         coef = _psolve(G, b)
         intercept = ym - xm @ coef
         cell_intercept = jnp.full(X.shape[:1], jnp.nan, dtype)

@@ -113,6 +113,28 @@ def _sketch_ladder(vals, mask, pp, m: int, axis_name: str):
     return _ladder_from_weighted(all_s, all_w, pp), n
 
 
+_exact_ladder_jit = jax.jit(_exact_ladder)
+
+
+@functools.lru_cache(maxsize=64)
+def _sketch_ladder_jit(mesh: Mesh, m: int):
+    """Cached jitted shard_map sketch for one (mesh, sample size) pair —
+    a fresh wrapper per fit would retrace and recompile every call (remote
+    TPU compiles are minutes; CLAUDE.md's lru_cache'd-jit convention)."""
+    axis = mesh.axis_names[0]
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        functools.partial(_sketch_ladder, m=m, axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def pooled_quantile_table(vals, pp, mesh: Mesh | None = None, *, sample_per_shard: int = 8192):
     """Pooled quantile ladder of the finite entries of ``vals`` (C, T).
 
@@ -124,19 +146,8 @@ def pooled_quantile_table(vals, pp, mesh: Mesh | None = None, *, sample_per_shar
     vals = jnp.asarray(vals)
     mask = jnp.isfinite(vals)
     if mesh is None or mesh.devices.size == 1:
-        return jax.jit(_exact_ladder)(vals, mask, pp)
-    axis = mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    fn = shard_map(
-        functools.partial(_sketch_ladder, m=sample_per_shard, axis_name=axis),
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
-    return jax.jit(fn)(vals, mask, pp)
+        return _exact_ladder_jit(vals, mask, pp)
+    return _sketch_ladder_jit(mesh, sample_per_shard)(vals, mask, pp)
 
 
 class GlobalQuantileMapper:
@@ -187,12 +198,16 @@ class GlobalQuantileMapper:
         return self
 
     def _map(self, V, src, dst):
-        # one SHARED monotone table maps every cell: flatten all queries
-        # into a single row and sort-merge once — O((C*T + Q) log) on every
-        # platform, where a per-cell-row dense formulation is O(C*T*Q)
+        # per-CELL-row sort-merge against the shared ladder: O((T+Q) log)
+        # per row, stays cell-sharded on a mesh (no single-row gather), and
+        # avoids the dense O(T*Q) per-row CPU formulation interp_rows picks
+        # for ladder-sized tables
         V = self._grid(V)
-        flat = V.astype(src.dtype).reshape(1, -1)
-        out = interp_sortmerge(src[None, :], dst[None, :], flat).reshape(V.shape)
+        C = V.shape[0]
+        L = src.shape[0]
+        xp = jnp.broadcast_to(src[None, :], (C, L))
+        fp = jnp.broadcast_to(dst[None, :], (C, L))
+        out = interp_sortmerge(xp, fp, V.astype(src.dtype))
         return jnp.where(jnp.isfinite(V), out, jnp.nan)
 
     def transform(self, X):

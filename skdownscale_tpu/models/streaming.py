@@ -58,14 +58,11 @@ class StreamTables(NamedTuple):
 
     fit_take: np.ndarray  # (NC, Gc*Lt) int32
     fit_mask: np.ndarray  # (NC, Gc, Lt) bool
-    fit_pp: np.ndarray  # (NC, Gc, Lt)
     lo_w: np.ndarray  # (NC, Gc, ne)
     lo_px: np.ndarray  # (NC, Gc, ne)
     hi_pos: np.ndarray  # (NC, Gc*ne) int32
     hi_w: np.ndarray  # (NC, Gc, ne)
     hi_px: np.ndarray  # (NC, Gc, ne)
-    lo_edge: np.ndarray  # (NC, Gc, 1) first valid pp per group
-    hi_edge: np.ndarray  # (NC, Gc, 1) last valid pp per group
     q_take: np.ndarray  # (NC, Gc*Lq) int32
     q_mask: np.ndarray  # (NC, Gc, Lq) bool
     q_pp: np.ndarray  # (NC, Gc, Lq)
@@ -135,8 +132,6 @@ def build_stream_tables(
     hi_w = (hi_cols < counts[:, None]).astype(dtype)
     hi_px = np.take_along_axis(fit_pp, hi_cols, axis=1)
     hi_pos = ((np.arange(Gp) % Gc)[:, None] * Lt + hi_cols).astype(np.int32)
-    lo_edge = fit_pp[:, 0:1]
-    hi_edge = np.take_along_axis(fit_pp, np.maximum(counts - 1, 0)[:, None], axis=1)
 
     # --- query side -----------------------------------------------------
     q_take = np.zeros((Gp, Lq), np.int32)
@@ -183,14 +178,11 @@ def build_stream_tables(
     return StreamTables(
         fit_take=C(fit_take, (Gc * Lt,)),
         fit_mask=C(fit_mask, (Gc, Lt)),
-        fit_pp=C(fit_pp.astype(dtype), (Gc, Lt)),
         lo_w=C(lo_w, (Gc, ne)),
         lo_px=C(lo_px.astype(dtype), (Gc, ne)),
         hi_pos=C(hi_pos, (Gc * ne,)),
         hi_w=C(hi_w, (Gc, ne)),
         hi_px=C(hi_px.astype(dtype), (Gc, ne)),
-        lo_edge=C(lo_edge.astype(dtype), (Gc, 1)),
-        hi_edge=C(hi_edge.astype(dtype), (Gc, 1)),
         q_take=C(q_take, (Gc * Lq,)),
         q_mask=C(q_mask, (Gc, Lq)),
         q_pp=C(q_pp, (Gc, Lq)),
