@@ -21,6 +21,7 @@ self-contained:
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,15 @@ import numpy as np
 from ..ops.rolling import _window_sum
 from .base import SingleCellEstimator, asarray_2d
 
-__all__ = ["PiecewiseLinearRegression", "arrm_breakpoints", "piecewise_fit", "piecewise_predict"]
+__all__ = [
+    "PiecewiseLinearRegression",
+    "arrm_breakpoints",
+    "piecewise_fit",
+    "piecewise_predict",
+    "ArrmState",
+    "arrm_fit_batched",
+    "arrm_predict_batched",
+]
 
 _MIN_WIDTH = 10  # arrm.py:37
 
@@ -195,6 +204,65 @@ def _optimize_breaks(x, y, *, n_interior: int, n_iter: int = 200):
     init = (breaks0, jnp.zeros_like(breaks0), jnp.zeros_like(breaks0), jnp.asarray(1.0, x.dtype))
     (breaks, _, _, _), _ = jax.lax.scan(step, init, None, length=n_iter)
     return breaks
+
+
+# ----------------------------------------------------------------------
+# batched (cells-leading) cores — one XLA program over all grid cells
+# ----------------------------------------------------------------------
+
+
+class ArrmState(NamedTuple):
+    """Fitted piecewise-linear state for a batch of cells.
+
+    ``breaks``: (C, K) interior breakpoints; ``beta``: (C, K+2) hinge-basis
+    coefficients ``[b0, b1, c_1..c_K]``; ``x_min``/``x_max``: (C,) data range
+    (the outer entries of pwlf-style ``fit_breaks_``, ref ``arrm.py:154``).
+    """
+
+    breaks: jnp.ndarray
+    beta: jnp.ndarray
+    x_min: jnp.ndarray
+    x_max: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("fit_option", "n_segments"))
+def arrm_fit_batched(x, y, *, fit_option: str, n_segments: int) -> ArrmState:
+    """Batched :class:`PiecewiseLinearRegression` fit over ``(C, T)`` arrays.
+
+    Same math as the single-cell ``fit`` (ref ``arrm.py:144-167`` semantics),
+    vmapped over the leading cell axis: the ARRM breakpoint scan's geometry
+    (window width, midpoints) depends only on T, so one compiled program
+    serves every cell.
+    """
+    k = max(n_segments - 1, 1)
+    x_min = jnp.min(x, axis=1)
+    x_max = jnp.max(x, axis=1)
+    if fit_option == "arrm":
+        xs = jnp.sort(x, axis=1)
+        ys = jnp.sort(y, axis=1)
+        interior = jax.vmap(
+            lambda a, b: _arrm_breakpoints_core(
+                a, b, window_width=0.05, max_breakpoints=n_segments
+            )
+        )(xs, ys)
+    elif fit_option == "auto":
+        interior = jax.vmap(lambda a, b: _optimize_breaks(a, b, n_interior=k))(x, y)
+    elif fit_option == "fast":
+        qs = jnp.asarray(np.linspace(0.0, 1.0, k + 2)[1:-1], x.dtype)
+        interior = x_min[:, None] + qs[None, :] * (x_max - x_min)[:, None]
+    else:
+        raise ValueError(f"unsupported fit_option '{fit_option}'")
+    beta = jax.vmap(piecewise_fit)(x, y, interior)
+    return ArrmState(interior, beta, x_min, x_max)
+
+
+def arrm_predict_batched(state: ArrmState, x):
+    """Batched hinge-basis predict: ``(C, T)`` queries through per-cell fits."""
+    b0 = state.beta[:, 0:1]
+    b1 = state.beta[:, 1:2]
+    c = state.beta[:, 2:]  # (C, K)
+    hinge = jnp.maximum(0.0, x[:, :, None] - state.breaks[:, None, :])  # (C, T, K)
+    return b0 + b1 * x + jnp.einsum("ctk,ck->ct", hinge, c)
 
 
 class PiecewiseLinearRegression(SingleCellEstimator):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import arrm as _arrm
 from . import bcsd as _bcsd
 from . import gard as _gard
 from . import quantile as _q
@@ -340,6 +341,38 @@ _REGISTRY[_z.ZScoreRegressor] = _Impl(
     None,
     lambda model, state: {"shift_": np.asarray(state.shift), "scale_": np.asarray(state.scale)},
 )
+
+
+# ----------------------------------------------------------------------
+# ARRM / PiecewiseLinearRegression
+# ----------------------------------------------------------------------
+
+
+def _arrm_fit(model, index_fit, X, y):
+    return _arrm.arrm_fit_batched(
+        _single(X), y, fit_option=model.fit_option, n_segments=int(model.n_segments)
+    )
+
+
+def _arrm_predict(model, state, index_fit, X, index):
+    return _arrm.arrm_predict_batched(state, _single(X))
+
+
+def _arrm_attrs(model, state):
+    # pwlf-style break vector [x_min, interior..., x_max] per cell (ref
+    # arrm.py:154 via the single-cell wrapper's fit_breaks_)
+    fb = np.concatenate(
+        [
+            np.asarray(state.x_min)[:, None],
+            np.asarray(state.breaks),
+            np.asarray(state.x_max)[:, None],
+        ],
+        axis=1,
+    )
+    return {"fit_breaks_": fb}
+
+
+_REGISTRY[_arrm.PiecewiseLinearRegression] = _Impl(_arrm_fit, _arrm_predict, None, _arrm_attrs)
 
 
 # ----------------------------------------------------------------------
