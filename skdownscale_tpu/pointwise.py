@@ -88,9 +88,21 @@ class PointWiseDownscaler:
         device pass.  Bounds HBM for workloads whose per-cell working set is
         large (GARD analog gathers; continental daily grids): the reference
         gets the same effect from dask chunking (``core.py:262``).
+    cell_bucket : {'pow2', int, None}
+        Shape-bucket the packed (valid) cell count before it reaches the
+        jitted kernels: ``'pow2'`` pads each device pass up to the next
+        power of two, an int pads to a multiple of it.  XLA compiles one
+        program per distinct input shape — on this target a fresh compile
+        costs minutes over the remote tunnel — so bucketing lets nearby grid
+        sizes (e.g. successive regions of a survey) reuse the AOT program
+        cache at the cost of <=2x (pow2) padded compute.  Padding replicates
+        the last valid cell and is sliced off every output; fitted state
+        keeps the padded cells internally but ``get_attr`` never exposes
+        them.  Default off (exact shapes).
     """
 
-    def __init__(self, model, dim: str = "time", sharding=None, cell_chunk_size=None):
+    def __init__(self, model, dim: str = "time", sharding=None, cell_chunk_size=None,
+                 cell_bucket=None):
         self._dim = dim
         self._model = model
         self._models = None  # per-cell object array (fallback path)
@@ -98,6 +110,7 @@ class PointWiseDownscaler:
         self._state_plan = None  # [(cell span, cell ids)] per state chunk
         self.sharding = sharding
         self.cell_chunk_size = cell_chunk_size
+        self.cell_bucket = cell_bucket
 
         if not hasattr(model, "fit"):
             raise TypeError(
@@ -203,6 +216,24 @@ class PointWiseDownscaler:
         lo, hi = span if span is not None else (0, px["n_cells"])
         return _native.pack_compact(px["read"](lo, hi), np.asarray(cell_ids, np.int32) - lo)
 
+    def _bucket_size(self, n: int) -> int:
+        """Padded cell count for one device pass under ``cell_bucket``."""
+        b = self.cell_bucket
+        if not b or n == 0:
+            return n
+        if b == "pow2":
+            return 1 << (n - 1).bit_length()
+        return -(-n // int(b)) * int(b)
+
+    def _bucket_pad(self, arr):
+        """Pad the leading (cells) axis up to the bucket size by replicating
+        the last valid cell (outputs for pad cells are sliced off)."""
+        n = self._bucket_size(arr.shape[0])
+        if n == arr.shape[0]:
+            return arr
+        reps = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
+        return np.concatenate([arr, reps], axis=0)
+
     def _device(self, arr):
         a = jnp.asarray(arr)
         if self.sharding is None:
@@ -255,8 +286,10 @@ class PointWiseDownscaler:
                 _b.batched_fit(
                     self._model,
                     self._fit_index,
-                    self._device(self._compact(px, ids, span)),
-                    self._device(self._compact(py, ids, span)[:, :, 0]) if py is not None else None,
+                    self._device(self._bucket_pad(self._compact(px, ids, span))),
+                    self._device(self._bucket_pad(self._compact(py, ids, span)[:, :, 0]))
+                    if py is not None
+                    else None,
                 )
                 for span, ids in self._state_plan
             ]
@@ -340,10 +373,10 @@ class PointWiseDownscaler:
                             self._model,
                             st,
                             self._fit_index,
-                            self._device(self._compact(px, ids, span)),
+                            self._device(self._bucket_pad(self._compact(px, ids, span))),
                             px["index"],
                         )
-                    )
+                    )[: len(ids)]
                     for (span, ids), st in zip(self._state_plan, self._state)
                 ],
                 axis=0,
@@ -398,11 +431,11 @@ class PointWiseDownscaler:
                             self._model,
                             st,
                             self._fit_index,
-                            self._device(self._compact(px, ids, span)),
+                            self._device(self._bucket_pad(self._compact(px, ids, span))),
                             px["index"],
                             direction,
                         )
-                    )
+                    )[: len(ids)]
                     for (span, ids), st in zip(self._state_plan, self._state)
                 ],
                 axis=0,
@@ -441,7 +474,13 @@ class PointWiseDownscaler:
                     f"implementation of {type(self._model).__name__}; "
                     f"available: {sorted(chunks[0])}"
                 )
-            vals = np.concatenate([np.asarray(c[key]) for c in chunks], axis=0)  # (Cv, ...)
+            vals = np.concatenate(
+                [
+                    np.asarray(c[key])[: len(ids)]  # drop bucket-pad cells
+                    for c, (_, ids) in zip(chunks, self._state_plan)
+                ],
+                axis=0,
+            )  # (Cv, ...)
             extra_shape = vals.shape[1:]
         else:
             cells = [getattr(self._models[c], key) for c in np.nonzero(mask)[0]]

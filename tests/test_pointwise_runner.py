@@ -246,3 +246,81 @@ def test_sklearn_pipeline_fallback(grid_data):
     assert out.shape == X.shape
     assert np.isnan(out.values[:, 0, 0]).all()
     assert np.isfinite(out.values[:, 1:, :]).all()
+
+
+# ----------------------------------------------------------------------
+# cell_bucket shape bucketing (compile-cache reuse across nearby grid sizes)
+# ----------------------------------------------------------------------
+
+
+class _ToyMean:
+    """Minimal estimator with a registered batched impl whose jitted fit
+    records trace events (one per distinct input shape)."""
+
+    def fit(self, X, y=None):
+        return self
+
+    def predict(self, X):  # pragma: no cover - fallback path never used here
+        return np.zeros(len(X))
+
+
+def _toy_registered(traced):
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models import batched
+
+    @jax.jit
+    def _fit(x, y):
+        traced.append(x.shape)  # appended at TRACE time only
+        return {"mean": jnp.mean(y, axis=1)}
+
+    impl = batched._Impl(
+        lambda m, i, X, y: _fit(X[..., 0], y),
+        lambda m, st, i, X, idx: jnp.broadcast_to(st["mean"][:, None], X.shape[:2]),
+        None,
+        lambda m, st: {"mean_": np.asarray(st["mean"])},
+    )
+    batched.register(_ToyMean, impl)
+
+
+def _point_grid(rng, n_cells, T=24):
+    idx = pd.date_range("2000-01-01", periods=T, freq="MS")
+    X = rng.normal(280, 3, (T, n_cells))
+    y = X - 1.0
+    coords = {"time": idx, "point": np.arange(n_cells)}
+    return DataArray(X, ("time", "point"), coords), DataArray(y, ("time", "point"), coords)
+
+
+def test_cell_bucket_pow2_reuses_compile(rng):
+    """Two grids whose valid-cell counts land in the same pow2 bucket must
+    trace (compile) the jitted kernel exactly once (VERDICT r2 #8)."""
+    traced = []
+    _toy_registered(traced)
+
+    for n in (5, 7):  # both bucket to 8
+        X, y = _point_grid(rng, n)
+        d = sdt.PointWiseDownscaler(_ToyMean(), cell_bucket="pow2")
+        d.fit(X, y)
+        out = d.predict(X)
+        assert out.shape == X.shape
+        # pad cells sliced off and values correct per cell
+        npt.assert_allclose(out.values[0], y.values.mean(axis=0), rtol=1e-12)
+        attr = d.get_attr("mean_")
+        assert attr.shape == (n,)
+        npt.assert_allclose(np.asarray(attr.values), y.values.mean(axis=0), rtol=1e-12)
+
+    assert len(traced) == 1, f"expected one trace, got shapes {traced}"
+    assert traced[0][0] == 8  # padded to the bucket
+
+
+def test_cell_bucket_int_granularity(rng):
+    d = sdt.PointWiseDownscaler(_ToyMean(), cell_bucket=64)
+    assert d._bucket_size(5) == 64
+    assert d._bucket_size(64) == 64
+    assert d._bucket_size(65) == 128
+    d2 = sdt.PointWiseDownscaler(_ToyMean(), cell_bucket="pow2")
+    assert d2._bucket_size(1) == 1
+    assert d2._bucket_size(600) == 1024
+    d3 = sdt.PointWiseDownscaler(_ToyMean())
+    assert d3._bucket_size(600) == 600
