@@ -102,3 +102,100 @@ def test_dask_time_rechunked_to_single(rng):
     d.fit(Xc, yc)
     out = d.predict(Xc)
     assert out.dims == ("time", "y", "x")
+
+
+# ----------------------------------------------------------------------
+# ZScore golden against the reference's REAL xarray _calc_stats
+# (VERDICT r2 #5: the f64-image golden vendors a numpy port of
+# _calc_stats; on a real-xarray image, compare against the true code path)
+# ----------------------------------------------------------------------
+
+
+def _ref_zscore():
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from skdownscale.pointwise_models import zscore as ref_zs
+
+    return ref_zs
+
+
+def _zscore_problem(rng, start="1990-01-01", n_years=4):
+    idx = pd.date_range(start, periods=365 * n_years + 1, freq="D")
+    base = 280 + 10 * np.sin(2 * np.pi * idx.dayofyear.values / 365.25)
+    x = base + rng.normal(0, 3, len(idx)) + 1.2
+    y = base + rng.normal(0, 2.4, len(idx))
+    return pd.DataFrame({"t": x}, index=idx), pd.Series(y, index=idx, name="t")
+
+
+@pytest.mark.parametrize("w", [31, 15])
+def test_zscore_fit_golden_real_calc_stats(rng, w):
+    """shift_/scale_ parity at 1e-9 against the reference's actual
+    xarray-backed ``_calc_stats`` (``zscore.py:123-193``), and the vendored
+    numpy port in tests/test_zscore_golden.py validated against it too."""
+    ref_zs = _ref_zscore()
+    from test_zscore_golden import vendored_ref_calc_stats
+
+    X, ys = _zscore_problem(rng)
+    ref_xm, ref_xs = ref_zs._calc_stats(X["t"], w)
+    ref_ym, ref_ys_ = ref_zs._calc_stats(ys, w)
+    ref_shift, ref_scale = ref_zs._get_params(ref_xm, ref_xs, ref_ym, ref_ys_)
+
+    # (a) the vendored port used on xarray-less images is itself faithful
+    ven_xm, ven_xs = vendored_ref_calc_stats(X["t"], w)
+    npt.assert_allclose(ven_xm.to_numpy(), ref_xm.to_numpy(), rtol=1e-12, atol=1e-12)
+    npt.assert_allclose(ven_xs.to_numpy(), ref_xs.to_numpy(), rtol=1e-12, atol=1e-12)
+
+    # (b) our fit against the true reference code path
+    ours = sdt.ZScoreRegressor(window_width=w).fit(X, ys)
+    npt.assert_allclose(ours.shift_, ref_shift.to_numpy(), rtol=1e-9, atol=1e-9)
+    npt.assert_allclose(ours.scale_, ref_scale.to_numpy(), rtol=1e-9, atol=1e-9)
+
+
+def test_zscore_end_to_end_real_reference(rng):
+    """Full fit+predict vs the reference ZScoreRegressor class (only
+    importable with real xarray)."""
+    ref_zs = _ref_zscore()
+
+    X, ys = _zscore_problem(rng)
+    Xq, _ = _zscore_problem(np.random.default_rng(7), start="2000-01-01", n_years=3)
+
+    ref = ref_zs.ZScoreRegressor(window_width=31).fit(X, ys)
+    ours = sdt.ZScoreRegressor(window_width=31).fit(X, ys)
+    npt.assert_allclose(
+        np.asarray(ours.predict(Xq)).reshape(-1),
+        np.asarray(ref.predict(Xq)).reshape(-1),
+        rtol=1e-9,
+        atol=1e-9,
+        equal_nan=True,
+    )
+
+
+def test_zscore_under_runner_real_xarray(rng):
+    """ZScoreRegressor end-to-end under PointWiseDownscaler on real xarray."""
+    idx = pd.date_range("1990-01-01", periods=365 * 3 + 1, freq="D")
+    T, ny, nx_ = len(idx), 2, 2
+    base = 280 + 10 * np.sin(2 * np.pi * idx.dayofyear.values / 365.25)
+    X = base[:, None, None] + rng.normal(0, 3, (T, ny, nx_)) + 1.2
+    y = base[:, None, None] + rng.normal(0, 2.4, (T, ny, nx_))
+    coords = {"time": idx, "y": np.arange(ny), "x": np.arange(nx_)}
+    Xda = xr.DataArray(X, dims=("time", "y", "x"), coords=coords)
+    yda = xr.DataArray(y, dims=("time", "y", "x"), coords=coords)
+
+    d = sdt.PointWiseDownscaler(sdt.ZScoreRegressor(window_width=31))
+    d.fit(Xda, yda)
+    out = d.predict(Xda)
+    assert isinstance(out, xr.DataArray)
+    assert out.dims == ("time", "y", "x")
+
+    m = sdt.ZScoreRegressor(window_width=31).fit(
+        pd.DataFrame({"t": X[:, 0, 0]}, index=idx), pd.Series(y[:, 0, 0], index=idx)
+    )
+    npt.assert_allclose(
+        np.asarray(out)[:, 0, 0],
+        np.asarray(m.predict(pd.DataFrame({"t": X[:, 0, 0]}, index=idx))).reshape(-1),
+        rtol=1e-8,
+        atol=1e-8,
+        equal_nan=True,
+    )
