@@ -9,6 +9,12 @@ data run unchunked on one 16 GB TPU chip at ~730k cells/s (BASELINE.md 2b).
 
 Usage: python examples/continental_bcsd.py [n_side]   (grid is n_side^2 cells;
 default 256 -> 65,536 cells so the example also runs quickly on CPU)
+
+       python examples/continental_bcsd.py [n_side] --zarr [DIR]
+           read inputs from a zarr v2 store (written on first run): the
+           production input path — each host reads only its own cell slice
+           from the chunked store (parallel/zarr_io.py; the reference's
+           equivalent pulls zarr via s3fs+dask, examples/utils.py:12-77)
 """
 
 import sys
@@ -23,17 +29,70 @@ import skdownscale_tpu as sdt
 from skdownscale_tpu.xlite import DataArray
 
 
-def main():
-    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    index = pd.date_range("1970-01-01", periods=480, freq="MS")
+def _write_store(path, n_side, index):
+    """Synthetic GCM + obs grids as one zarr group per variable (spatially
+    chunked, like a real CONUS store)."""
+    from skdownscale_tpu.utils import zarrlite
+
     T = len(index)
     rng = np.random.default_rng(0)
     seasonal = 8.0 * np.sin(2 * np.pi * (index.month.to_numpy() - 1) / 12)
-
     shape = (T, n_side, n_side)
     X = (283.0 + seasonal[:, None, None] + rng.normal(0, 2, shape) + 1.5).astype(np.float32)
     y = (282.0 + seasonal[:, None, None] + rng.normal(0, 1.8, shape)).astype(np.float32)
     X[:, 0, 0] = np.nan  # an ocean cell
+    cy = max(n_side // 4, 1)
+    zarrlite.save_group(
+        path,
+        {"gcm": X, "obs": y, "time": np.asarray(index, dtype="datetime64[ns]").view(np.int64)},
+        chunks={"gcm": (T, cy, n_side), "obs": (T, cy, n_side), "time": (T,)},
+    )
+    # mark the time member so readers rebuild a DatetimeIndex
+    zarrlite.save_array(f"{path}/time", np.asarray(index, dtype="datetime64[ns]").view(np.int64), attrs={"kind": "datetime64[ns]"})
+    return path
+
+
+def _load_zarr(path, n_side):
+    """Read the per-host cell slice from the store and rebuild (T, y, x)
+    arrays for the runner (single-host here; on a pod each process would
+    call feed_zarr_cells and run the batched cores on the sharded array)."""
+    from skdownscale_tpu.parallel.zarr_io import ZarrGridSource
+
+    gcm = ZarrGridSource(path, "gcm")
+    obs = ZarrGridSource(path, "obs")
+    index = gcm.index
+    X = gcm.read_cells(0, gcm.n_cells).T.reshape(len(index), n_side, n_side)
+    y = obs.read_cells(0, obs.n_cells).T.reshape(len(index), n_side, n_side)
+    return X.astype(np.float32), y.astype(np.float32), index
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_side = int(args[0]) if args else 256
+    index = pd.date_range("1970-01-01", periods=480, freq="MS")
+    T = len(index)
+
+    if "--zarr" in sys.argv:
+        import os
+
+        i = sys.argv.index("--zarr")
+        store = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].isdigit()
+            else "/tmp/sdt_example.zarr"
+        )
+        if not os.path.exists(store):
+            print(f"writing synthetic store {store} ...")
+            _write_store(store, n_side, index)
+        X, y, index = _load_zarr(store, n_side)
+        print(f"read {X.shape} from zarr store {store}")
+    else:
+        rng = np.random.default_rng(0)
+        seasonal = 8.0 * np.sin(2 * np.pi * (index.month.to_numpy() - 1) / 12)
+        shape = (T, n_side, n_side)
+        X = (283.0 + seasonal[:, None, None] + rng.normal(0, 2, shape) + 1.5).astype(np.float32)
+        y = (282.0 + seasonal[:, None, None] + rng.normal(0, 1.8, shape)).astype(np.float32)
+        X[:, 0, 0] = np.nan  # an ocean cell
 
     coords = {"time": index, "y": np.arange(n_side), "x": np.arange(n_side)}
     Xda = DataArray(X, ("time", "y", "x"), coords)

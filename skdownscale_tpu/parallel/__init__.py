@@ -1,5 +1,6 @@
 from skdownscale_tpu.parallel.mesh import cell_mesh, cell_sharding, pad_to_multiple, shard_cells
 from skdownscale_tpu.parallel.multihost import feed_cells, host_cell_slice
+from skdownscale_tpu.parallel.zarr_io import ZarrGridSource, feed_zarr_cells
 
 __all__ = [
     "cell_mesh",
@@ -8,4 +9,6 @@ __all__ = [
     "shard_cells",
     "feed_cells",
     "host_cell_slice",
+    "ZarrGridSource",
+    "feed_zarr_cells",
 ]

@@ -1,0 +1,270 @@
+"""Minimal dependency-free zarr v2 store reader/writer.
+
+The reference's example pipeline reads zarr stores from object storage
+(``/root/reference/examples/utils.py:12-77``); SURVEY §7.6 calls for a
+"multi-host input pipeline (zarr -> per-host shards)".  This image ships no
+``zarr`` package, so this module implements the zarr **v2 directory format**
+(https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html) directly with
+numpy + stdlib codecs:
+
+* arrays: ``.zarray`` JSON metadata + C-order chunk files named ``"i.j.k"``
+  (or with a custom ``dimension_separator``); missing chunks read as
+  ``fill_value``
+* groups: ``.zgroup`` + member arrays in subdirectories
+* attributes: ``.zattrs``
+* compressors: ``null`` (raw), ``zlib``, ``gzip`` — stdlib-codable.  Blosc
+  (the zarr-python default) needs the blosc C library and raises a clear
+  error here.
+
+Stores written by this module are readable by real ``zarr`` and vice versa
+(within the codec subset).  The API mirrors the tiny slice of zarr-python
+the pipeline needs: ``save_array`` / ``open_array`` / ``save_group`` /
+``open_group``, with basic-slice ``__getitem__`` on arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+
+__all__ = ["ZarrArray", "ZarrGroup", "save_array", "open_array", "save_group", "open_group"]
+
+_SUPPORTED_CODECS = (None, "zlib", "gzip")
+
+
+def _decompress(buf: bytes, compressor) -> bytes:
+    if compressor is None:
+        return buf
+    cid = compressor.get("id")
+    if cid in ("zlib", "gzip"):
+        # zlib.decompress with wbits=47 auto-detects zlib and gzip wrappers
+        return zlib.decompress(buf, wbits=47)
+    raise ValueError(
+        f"unsupported zarr compressor {cid!r}: this minimal reader handles "
+        f"{_SUPPORTED_CODECS}; re-write the store uncompressed or zlib/gzip"
+    )
+
+
+def _compress(buf: bytes, compressor) -> bytes:
+    if compressor is None:
+        return buf
+    cid = compressor.get("id")
+    level = int(compressor.get("level", 5))
+    if cid == "zlib":
+        return zlib.compress(buf, level)
+    if cid == "gzip":
+        co = zlib.compressobj(level, zlib.DEFLATED, 31)  # gzip wrapper
+        return co.compress(buf) + co.flush()
+    raise ValueError(f"unsupported compressor {cid!r}")
+
+
+def _fill_scalar(fill_value, dtype):
+    if fill_value is None:
+        return np.zeros((), dtype)
+    if isinstance(fill_value, str):
+        if fill_value == "NaN":
+            return np.asarray(np.nan, dtype)
+        if fill_value == "Infinity":
+            return np.asarray(np.inf, dtype)
+        if fill_value == "-Infinity":
+            return np.asarray(-np.inf, dtype)
+    return np.asarray(fill_value, dtype)
+
+
+def _read_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _attrs(dirpath):
+    p = os.path.join(dirpath, ".zattrs")
+    return _read_json(p) if os.path.exists(p) else {}
+
+
+class ZarrArray:
+    """Read-only zarr v2 array backed by a local directory store."""
+
+    def __init__(self, path: str):
+        self.path = path
+        meta = _read_json(os.path.join(path, ".zarray"))
+        if meta.get("zarr_format") != 2:
+            raise ValueError(f"not a zarr v2 array: {path}")
+        if meta.get("filters"):
+            raise ValueError("zarr filters are not supported by this minimal reader")
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.order = meta.get("order", "C")
+        self.compressor = meta.get("compressor")
+        self.fill_value = _fill_scalar(meta.get("fill_value"), self.dtype)
+        self.sep = meta.get("dimension_separator", ".")
+        self.attrs = _attrs(path)
+        self.ndim = len(self.shape)
+
+    def _chunk(self, idx) -> np.ndarray:
+        """One chunk as a (chunks,) ndarray (edge chunks are full-size in v2)."""
+        key = self.sep.join(str(i) for i in idx)
+        p = os.path.join(self.path, key)
+        if not os.path.exists(p):
+            return np.full(self.chunks, self.fill_value, self.dtype)
+        with open(p, "rb") as f:
+            raw = _decompress(f.read(), self.compressor)
+        a = np.frombuffer(raw, dtype=self.dtype)
+        return a.reshape(self.chunks, order=self.order)
+
+    def read_block(self, starts, stops) -> np.ndarray:
+        """Dense hyper-rectangle ``[starts, stops)`` assembled from chunks."""
+        starts = [int(s) for s in starts]
+        stops = [int(min(e, n)) for e, n in zip(stops, self.shape)]
+        out = np.empty([max(e - s, 0) for s, e in zip(starts, stops)], self.dtype)
+        if out.size == 0:
+            return out
+        lo_c = [s // c for s, c in zip(starts, self.chunks)]
+        hi_c = [(e - 1) // c for e, c in zip(stops, self.chunks)]
+        for idx in np.ndindex(*[h - l + 1 for l, h in zip(lo_c, hi_c)]):
+            cidx = tuple(l + i for l, i in zip(lo_c, idx))
+            chunk = self._chunk(cidx)
+            src, dst = [], []
+            for d in range(self.ndim):
+                c0 = cidx[d] * self.chunks[d]
+                a = max(starts[d], c0)
+                b = min(stops[d], c0 + self.chunks[d])
+                src.append(slice(a - c0, b - c0))
+                dst.append(slice(a - starts[d], b - starts[d]))
+            out[tuple(dst)] = chunk[tuple(src)]
+        return out
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + (slice(None),) * (self.ndim - len(key))
+        starts, stops, squeeze = [], [], []
+        for d, k in enumerate(key):
+            if isinstance(k, (int, np.integer)):
+                i = int(k) % self.shape[d] if k < 0 else int(k)
+                starts.append(i)
+                stops.append(i + 1)
+                squeeze.append(d)
+            elif isinstance(k, slice):
+                s, e, step = k.indices(self.shape[d])
+                if step != 1:
+                    raise IndexError("only unit-step slices are supported")
+                starts.append(s)
+                stops.append(e)
+            else:
+                raise IndexError(f"unsupported index {k!r}")
+        out = self.read_block(starts, stops)
+        if squeeze:
+            out = np.squeeze(out, axis=tuple(squeeze))
+        return out
+
+    def __array__(self, dtype=None):
+        a = self.read_block([0] * self.ndim, self.shape)
+        return a if dtype is None else a.astype(dtype)
+
+
+class ZarrGroup:
+    """Read-only zarr v2 group: named member arrays / subgroups."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if not os.path.exists(os.path.join(path, ".zgroup")):
+            raise ValueError(f"not a zarr group: {path}")
+        self.attrs = _attrs(path)
+
+    def array_keys(self):
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if os.path.exists(os.path.join(self.path, name, ".zarray")):
+                out.append(name)
+        return out
+
+    def __getitem__(self, name: str):
+        sub = os.path.join(self.path, name)
+        if os.path.exists(os.path.join(sub, ".zarray")):
+            return ZarrArray(sub)
+        if os.path.exists(os.path.join(sub, ".zgroup")):
+            return ZarrGroup(sub)
+        raise KeyError(name)
+
+    def __contains__(self, name: str) -> bool:
+        sub = os.path.join(self.path, name)
+        return os.path.exists(os.path.join(sub, ".zarray")) or os.path.exists(
+            os.path.join(sub, ".zgroup")
+        )
+
+
+def _write_json(path, obj):
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, sort_keys=True)
+
+
+def _fill_json(dtype):
+    return "NaN" if np.issubdtype(dtype, np.floating) else 0
+
+
+def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None):
+    """Write ``arr`` as a zarr v2 array directory at ``path``.
+
+    ``chunks=None`` stores one chunk per array; ``compressor`` is ``'zlib'``,
+    ``'gzip'`` or ``None`` (raw).
+    """
+    arr = np.ascontiguousarray(arr)
+    if chunks is None:
+        chunks = arr.shape if arr.ndim else (1,)
+    chunks = tuple(int(c) for c in chunks)
+    comp = None if compressor is None else {"id": compressor, "level": 5}
+    os.makedirs(path, exist_ok=True)
+    _write_json(
+        os.path.join(path, ".zarray"),
+        {
+            "zarr_format": 2,
+            "shape": list(arr.shape),
+            "chunks": list(chunks),
+            "dtype": arr.dtype.str,
+            "compressor": comp,
+            "fill_value": _fill_json(arr.dtype),
+            "order": "C",
+            "filters": None,
+            "dimension_separator": ".",
+        },
+    )
+    if attrs:
+        _write_json(os.path.join(path, ".zattrs"), attrs)
+    n_chunks = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    for idx in np.ndindex(*n_chunks):
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        block = arr[sel]
+        if block.shape != chunks:  # v2 edge chunks are stored full-size
+            full = np.full(chunks, _fill_scalar(_fill_json(arr.dtype), arr.dtype), arr.dtype)
+            full[tuple(slice(0, s) for s in block.shape)] = block
+            block = full
+        buf = _compress(np.ascontiguousarray(block).tobytes(), comp)
+        key = ".".join(str(i) for i in idx)
+        with open(os.path.join(path, key), "wb") as f:
+            f.write(buf)
+    return path
+
+
+def save_group(path, arrays: dict, *, chunks=None, compressor="zlib", attrs=None):
+    """Write a zarr v2 group of named arrays.  ``chunks`` may be a dict
+    (per-array) or one tuple for all."""
+    os.makedirs(path, exist_ok=True)
+    _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+    if attrs:
+        _write_json(os.path.join(path, ".zattrs"), attrs)
+    for name, arr in arrays.items():
+        c = chunks.get(name) if isinstance(chunks, dict) else chunks
+        save_array(os.path.join(path, name), arr, chunks=c, compressor=compressor)
+    return path
+
+
+def open_array(path) -> ZarrArray:
+    return ZarrArray(path)
+
+
+def open_group(path) -> ZarrGroup:
+    return ZarrGroup(path)
