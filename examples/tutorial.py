@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Tutorial: end-to-end downscaling walkthrough (script form of the
+reference's talk notebook ``examples/2020ECAHM-scikit-downscale.ipynb`` and
+``docs/tutorials``).
+
+Narrative, runnable top-to-bottom, producing the reference workflow's
+diagnostic artifacts on disk:
+
+1. load daily GCM-like training data + observations (synthetic stand-ins —
+   no object-store egress here; see ``examples/utils.py``);
+2. fit a panel of downscaling models on the single-cell API;
+3. compare them with skill metrics and the reference's Q-Q probability
+   plots (``prob_plots``, mirror of ref ``examples/utils.py:80-119``),
+   saved to ``examples/output/tutorial_probplots.png``;
+4. scale the winning model over a (time, y, x) grid with
+   ``PointWiseDownscaler`` (NaN ocean cells masked), saving a bias map to
+   ``examples/output/tutorial_bias_map.png``.
+
+Run: python examples/tutorial.py   (~1 min on CPU; figures need matplotlib)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import skdownscale_tpu as sdt
+from skdownscale_tpu.utils import metrics
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "output")
+
+
+def main():
+    from utils import get_sample_data, get_sample_grid, prob_plots
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # 1. data: 30 years of daily temperature; a biased/drifting GCM series
+    #    and observed targets at the same location
+    # ------------------------------------------------------------------
+    training = get_sample_data("training")
+    targets = get_sample_data("targets")
+    split = "2000-01-01"  # fit on 1980-1999, evaluate on 2000-2009
+    X_hist, X_fut = training[:split], training[split:]
+    y_hist, y_fut = targets[:split], targets[split:]
+    print(f"training {X_hist.shape}, evaluation {X_fut.shape}")
+    print(f"raw GCM bias over evaluation period: "
+          f"{float(X_fut['tmax'].mean() - y_fut['tmax'].mean()):+.2f} K")
+
+    # ------------------------------------------------------------------
+    # 2. a panel of models, all on the sklearn-style fit/predict API
+    #    (the reference notebook's model dict, code cells 12-16)
+    # ------------------------------------------------------------------
+    models = {
+        "BCSD: BcsdTemperature": sdt.BcsdTemperature(return_anoms=False),
+        "QDM: EquidistantCdfMatcher": sdt.EquidistantCdfMatcher(
+            kind="difference", extrapolate="both"
+        ),
+        "QM: QuantileMappingReressor": sdt.QuantileMappingReressor(extrapolate="both"),
+        "ZScore: ZScoreRegressor": sdt.ZScoreRegressor(window_width=31),
+    }
+
+    preds = {}
+    print("\nmodel skill over the held-out decade:")
+    for name, model in models.items():
+        model.fit(X_hist, y_hist["tmax"])
+        yh = np.asarray(model.predict(X_fut)).reshape(-1)
+        preds[name] = yh
+        obs = y_fut["tmax"].to_numpy()
+        ok = np.isfinite(yh) & np.isfinite(obs)
+        print(
+            f"  {name:32s} bias {float(yh[ok].mean() - obs[ok].mean()):+6.2f} K   "
+            f"rmse {float(metrics.rmse(obs[ok], yh[ok])):5.2f}   "
+            f"r2 {float(metrics.r2(obs[ok], yh[ok])):.3f}"
+        )
+
+    # ------------------------------------------------------------------
+    # 3. diagnostic Q-Q plots (the reference's prob_plots figure)
+    # ------------------------------------------------------------------
+    try:
+        fig = prob_plots(
+            X_fut["tmax"].to_numpy(),
+            y_fut["tmax"].to_numpy(),
+            {k: np.nan_to_num(v, nan=np.nanmean(v)) for k, v in preds.items()},
+            shape=(2, 2),
+        )
+        path = os.path.join(OUT_DIR, "tutorial_probplots.png")
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        print(f"\nsaved Q-Q probability plots -> {path}")
+    except ImportError as e:  # pragma: no cover - matplotlib-less images
+        print(f"\n(skipping figures: {e})")
+        return
+
+    # ------------------------------------------------------------------
+    # 4. the same correction over a grid: PointWiseDownscaler batches every
+    #    valid cell into one XLA program; ocean cells stay NaN
+    # ------------------------------------------------------------------
+    gcm, obs = get_sample_grid(ny=12, nx=12, years=10)
+    d = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+    d.fit(gcm, obs)
+    out = d.predict(gcm)
+    v = np.asarray(out.values)
+    raw_bias = np.asarray(gcm.values).mean(axis=0) - np.asarray(obs.values).mean(axis=0)
+    cor_bias = v.mean(axis=0) - np.asarray(obs.values).mean(axis=0)
+    print(f"grid: raw |bias| {np.nanmean(np.abs(raw_bias)):.2f} K -> "
+          f"corrected {np.nanmean(np.abs(cor_bias)):.2f} K; "
+          f"ocean NaN preserved: {bool(np.isnan(v[:, :, :2]).all())}")
+
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4), sharey=True)
+    for ax, (title, field) in zip(
+        axes, [("raw GCM bias (K)", raw_bias), ("after BCSD (K)", cor_bias)]
+    ):
+        im = ax.imshow(field, cmap="RdBu_r", vmin=-2, vmax=2, origin="lower")
+        ax.set_title(title)
+    fig.colorbar(im, ax=axes, shrink=0.8)
+    path = os.path.join(OUT_DIR, "tutorial_bias_map.png")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    print(f"saved bias maps -> {path}")
+
+
+if __name__ == "__main__":
+    main()
