@@ -179,6 +179,54 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8):
     return n_cells / dt, dt, nbytes
 
 
+def bench_arrm(n_cells=16384, n_time=1000, n_iters=2, fit_option="arrm"):
+    """ARRM piecewise-linear regression over a grid: one vmapped XLA program
+    (fit = windowed-r2 breakpoint scan + hinge lstsq; predict = hinge eval).
+    The reference cannot run this model at all without the optional pwlf
+    package (ref ``arrm.py:138``); the baseline is this package's own
+    single-cell estimator looped per cell (measured on a subset)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.arrm import arrm_fit_batched, arrm_predict_batched
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-10, 15, (n_cells, n_time)).astype(np.float32)
+    y = (
+        np.where(x < 0, -1.0 * x, np.where(x < 5, 2.0 * x, 10 + 0.5 * (x - 5)))
+        + rng.normal(0, 0.3, (n_cells, n_time))
+    ).astype(np.float32)
+    xd, yd = jax.device_put(x), jax.device_put(y)
+
+    fn = jax.jit(
+        lambda a, b: arrm_predict_batched(
+            arrm_fit_batched(a, b, fit_option=fit_option, n_segments=6), a
+        )
+    )
+
+    def run():
+        return float(jnp.sum(fn(xd, yd)))
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    # per-cell loop baseline (8 cells, linear cost)
+    from skdownscale_tpu.models.arrm import PiecewiseLinearRegression
+
+    t0 = time.perf_counter()
+    for c in range(8):
+        m = PiecewiseLinearRegression(n_segments=6, fit_option=fit_option)
+        m.fit(x[c].reshape(-1, 1), y[c])
+        m.predict(x[c].reshape(-1, 1))
+    ref_cps = 8 / (time.perf_counter() - t0)
+    return n_cells / dt, dt, ref_cps
+
+
 def bench_reference(n_cells=8, n_time=480):
     """Reference per-cell loop, measured on a subset (cost is linear)."""
     import sys as _sys
@@ -237,6 +285,49 @@ def bench_qdm(n_cells=16384, n_fit=3650, n_predict=None, n_iters=2):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return n_cells / dt, dt
+
+
+# v5e per-chip peaks used for the GARD kernel bounds (VERDICT r2 #4):
+# MXU 394 bf16 TFLOP/s; VPU ~= 8x128 lanes x 4 ALUs x 0.94 GHz ~= 3.9 Tops/s
+_MXU_PEAK = 3.94e14
+_VPU_PEAK = 3.9e12
+
+
+def _gard_bounds(n_cells, n_train, n_queries, f, dt, extra_mxu_macs=0.0):
+    """Analytic per-configuration bounds for the fused GARD kernels.
+
+    The kernel is selection-dominated: per query, 31 distance-bit bisection
+    passes + ceil(log2 n) tie passes, each an (n_pad,)-deep VPU
+    compare -> int cast -> sublane reduce-add (~3 ops/element; offloading
+    the count to 0/1-bf16 MXU matmuls was measured 16x SLOWER — each tiny
+    matmul serializes against the VPU inside the sequential bisection loop,
+    see ROUND_NOTES r3).  Returns a dict with the analytic floor times and
+    the implied utilization of the binding resource.
+    """
+    n_pad = -(-n_train // 128) * 128
+    mq = -(-n_queries // 128) * 128
+    passes = 31 + max(1, (n_pad - 1).bit_length())
+    # compare + select->int + reduce-add per (train, query, pass) element
+    vpu_ops = n_cells * mq * n_pad * passes * 3.0
+    mxu_macs = n_cells * (
+        8 * n_pad * mq * 6  # HIGHEST-precision distance cross (~6 bf16 passes)
+        + 4 * n_pad * mq  # stats mask matmuls
+    ) + extra_mxu_macs
+    hbm_bytes = n_cells * 4.0 * (
+        n_train * (f + 1) + n_queries * f + n_queries * 3
+    )
+    bounds = {
+        "vpu_bound_s": vpu_ops / _VPU_PEAK,
+        "mxu_bound_s": 2.0 * mxu_macs / _MXU_PEAK,
+        "hbm_bound_s": hbm_bytes / 8.19e11,
+    }
+    floor = max(bounds.values())
+    binding = max(bounds, key=bounds.get)
+    return {
+        **{kk: round(vv, 5) for kk, vv in bounds.items()},
+        "binding": binding.replace("_bound_s", ""),
+        "util_vs_bound": round(floor / dt, 3),
+    }
 
 
 def bench_pure_analog(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
@@ -308,7 +399,11 @@ def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     model = sys.argv[2] if len(sys.argv) > 2 else "bcsd"
     if model == "gard":
-        cps, dt = bench_gard(n_cells=n_cells if len(sys.argv) > 1 else 2048)
+        n = n_cells if len(sys.argv) > 1 else 2048
+        cps, dt = bench_gard(n_cells=n)
+        # AR adds the in-VMEM damped-Newton logistic: ~n_iter x (2 stacked-row
+        # (f+2, n)x(n, mq) matmuls) per query block
+        extra = n * 12 * 2 * 4 * 3712.0 * 512
         print(
             json.dumps(
                 {
@@ -316,6 +411,7 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (365 local logistic+linear fits per cell, k=200)",
                     "vs_baseline": round(cps / 0.55, 1),  # measured reference rate
+                    **_gard_bounds(n, 3650, 365, 2, dt, extra_mxu_macs=extra),
                 }
             )
         )
@@ -338,7 +434,8 @@ def main():
         )
         return
     if model == "analog":
-        cps, dt = bench_pure_analog(n_cells=n_cells if len(sys.argv) > 1 else 2048)
+        n = n_cells if len(sys.argv) > 1 else 2048
+        cps, dt = bench_pure_analog(n_cells=n)
         print(
             json.dumps(
                 {
@@ -346,6 +443,20 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (PureAnalog mean_analogs k=200, 3650 train x 365 queries)",
                     "vs_baseline": round(cps / 20.0, 1),  # measured reference ~20 cells/s
+                    **_gard_bounds(n, 3650, 365, 2, dt),
+                }
+            )
+        )
+        return
+    if model == "arrm":
+        cps, dt, ref_cps = bench_arrm(n_cells=n_cells if len(sys.argv) > 1 else 16384)
+        print(
+            json.dumps(
+                {
+                    "metric": "arrm_fit_predict_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (ARRM breakpoint scan + hinge lstsq, T=1000)",
+                    "vs_baseline": round(cps / ref_cps, 1),  # per-cell loop rate
                 }
             )
         )

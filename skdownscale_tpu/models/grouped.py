@@ -34,6 +34,7 @@ import numpy as np
 
 from ..ops.interp import interp_rows
 from ..ops.regression import ols_1d
+from ..ops.rowsort import rank_sort_auto, sort_rows_auto, unsort_auto
 from ..utils.timeindex import PaddedGroups
 
 __all__ = [
@@ -103,7 +104,7 @@ def _sort_within_groups(vflat, groups: PaddedGroups):
     daily tables.)"""
     G, L = groups.indices.shape
     shape = vflat.shape
-    return jnp.sort(vflat.reshape(-1, L), axis=-1).reshape(shape)
+    return sort_rows_auto(vflat.reshape(-1, L)).reshape(shape)
 
 
 def _masked_trend(xg_flat, groups: PaddedGroups):
@@ -249,8 +250,34 @@ def _rank_fill_unsort(res, sv, spos, region):
         fill_R = jax.lax.cummin(key, axis=1, reverse=True)
         out = fill_R if out is None else jnp.where(re_region == R, fill_R, out)
     out = jnp.where(isn, sv, out)
-    _, res_o = jax.lax.sort((spos, out), num_keys=1, is_stable=True, dimension=1)
-    return res_o
+    return unsort_auto(out, spos)
+
+
+def apply_ranked_rows(res_rows, q_rows, region_rows):
+    """Map each query to its rank's result value, np.interp tie semantics.
+
+    ``res_rows``: (rows, L) mapped values by RANK (query-independent:
+    rank-bracket takes through the fit CDF); ``q_rows``: (rows, L) query
+    values in original order (+inf padded); ``region_rows``: int32 0/1/2
+    per rank (lo-tail/interior/hi-tail), used only by the XLA fallback.
+
+    On TPU/f32 this runs the sort-free counting kernel
+    (:mod:`..ops.pallas.rank_map_kernel`): ranks by Lq^2 broadcast compares
+    in VMEM, ties land on the run-end rank by construction, NaNs pass
+    through.  Elsewhere (or under ``rowsort.override``) it runs the rank
+    payload sort + reverse-cummin tie fill + payload unsort.
+    """
+    from ..ops import rowsort as _rs
+    from ..ops.pallas.rank_map_kernel import rank_map_rows, use_rank_map_kernel
+
+    if _rs._OVERRIDE is not None:
+        use, interpret = _rs._OVERRIDE
+    else:
+        use, interpret = use_rank_map_kernel(q_rows.dtype), False
+    if use:
+        return rank_map_rows(q_rows, res_rows, interpret=interpret)
+    sv, spos = rank_sort_auto(q_rows)
+    return _rank_fill_unsort(res_rows, sv, spos, region_rows)
 
 
 def _tail_windows(counts: np.ndarray, L: int, n_endpoints: int):
@@ -396,8 +423,6 @@ def grouped_qm_transform(
     rb = rank_bracket_tables(fit_counts, q_pp_host, Lt, alpha=alpha, beta=beta)
 
     rows = masked.reshape(-1, L)
-    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), rows.shape)
-    sv, spos = jax.lax.sort((rows, pos), num_keys=1, is_stable=True, dimension=1)
 
     vals_b = jnp.broadcast_to(fit_cdf.vals, (*lead, G * Lt))
     f0 = vals_b[..., jnp.asarray(rb["lo_flat"])]  # static takes, (..., G*L)
@@ -436,7 +461,7 @@ def grouped_qm_transform(
     region = jnp.broadcast_to(
         jnp.asarray(region_host.reshape(-1)), (*lead, G * L)
     ).reshape(-1, L)
-    mapped = _rank_fill_unsort(res.reshape(-1, L), sv, spos, region).reshape(
+    mapped = apply_ranked_rows(res.reshape(-1, L), rows, region).reshape(
         *lead, G * L
     )
     if detrend:

@@ -158,20 +158,67 @@ def qm_transform(
 ):
     """``QuantileMapper.transform`` (``quantile.py:109-147``): fresh CDF of the
     new series -> plotting positions -> inverse through the stored fit CDF,
-    with optional detrend/retrend and intercept-bias reset."""
+    with optional detrend/retrend and intercept-bias reset.
+
+    Rank-bracket formulation (the G=1 case of ``grouped_qm_transform``):
+    fit_transform-on-self assigns rank plotting positions (``quantile.py:138``),
+    and both pp grids are pure functions of (rank, length, alpha, beta) —
+    so each rank's bracket in the fit grid, its lerp weights, and the tail
+    regions are host tables; per element the map is two takes + one fma,
+    placed in original order by ``apply_ranked_rows`` (sort-free counting
+    kernel on TPU).  ``alpha``/``beta`` must be the pair the state was fit
+    with (``QuantileMapper`` uses one pair throughout, as the reference
+    does)."""
+    from .grouped import _rank_bracket_row, apply_ranked_rows
+
     if detrend:
         tr_new = trend_fit(x)
         x_to_cdf = x - trend_line(tr_new, x.shape[-1], x.dtype)
     else:
         x_to_cdf = x
-    # fit_transform-on-self == rank plotting positions (quantile.py:138);
-    # self-queries are never out of range, so tails can't trigger
     n = x.shape[-1]
-    x_quantiles = self_quantiles(
-        x_to_cdf, plotting_positions(n, alpha, beta, dtype=x.dtype)
+    n_fit = state.cdf_vals.shape[-1]
+    dtype = x.dtype
+
+    # host (numpy) copies of the Cunnane grids — same formula as
+    # plotting_positions (quantile.py:23-43)
+    qpp = (np.arange(1, n + 1, dtype=np.float64) - alpha) / (n + 1.0 - alpha - beta)
+    fpp = (np.arange(1, n_fit + 1, dtype=np.float64) - alpha) / (
+        n_fit + 1.0 - alpha - beta
     )
-    fit_cdf = Cdf(state.cdf_pp, state.cdf_vals)
-    x_qmapped = cunnane_inverse(fit_cdf, x_quantiles, extrapolate, n_endpoints)
+    lo, hi, w0, w1, right, below, above = _rank_bracket_row(fpp, qpp)
+
+    vals = state.cdf_vals  # (..., n_fit)
+    f0 = vals[..., jnp.asarray(lo)]
+    f1 = vals[..., jnp.asarray(hi)]
+    df = f1 - f0
+    res = jnp.where(
+        jnp.asarray(right),
+        f1 + jnp.asarray(w1, dtype) * df,
+        f0 + jnp.asarray(w0, dtype) * df,
+    )
+    # tail extrapolation (quantile.py:532-545): OLS over the first/last
+    # n_endpoints (pp -> vals) knots, evaluated at the out-of-range rank pps
+    ne = min(n_endpoints, n_fit)
+    qpp_d = jnp.asarray(qpp, dtype)
+    if extrapolate in ("min", "both") and below.any():
+        lo_s, lo_i = ols_1d(jnp.asarray(fpp[:ne], dtype), vals[..., :ne])
+        res = jnp.where(
+            jnp.asarray(below), lo_i[..., None] + lo_s[..., None] * qpp_d, res
+        )
+    if extrapolate in ("max", "both") and above.any():
+        hi_s, hi_i = ols_1d(jnp.asarray(fpp[-ne:], dtype), vals[..., -ne:])
+        res = jnp.where(
+            jnp.asarray(above), hi_i[..., None] + hi_s[..., None] * qpp_d, res
+        )
+
+    region = np.where(below, 0, np.where(above, 2, 1)).astype(np.int32)
+    lead = x.shape[:-1]
+    rows_q = x_to_cdf.reshape(-1, n)
+    res_rows = jnp.broadcast_to(res, (*lead, n)).reshape(-1, n)
+    region_rows = jnp.broadcast_to(jnp.asarray(region), (*lead, n)).reshape(-1, n)
+    x_qmapped = apply_ranked_rows(res_rows, rows_q, region_rows).reshape(*lead, n)
+
     if detrend:
         x_qmapped = x_qmapped + trend_line(tr_new, x.shape[-1], x.dtype)
         # reset the baseline (quantile.py:145)

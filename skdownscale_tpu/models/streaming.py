@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.regression import ols_1d
+from ..ops.rowsort import sort_rows_auto
 from ..utils.timeindex import PaddedGroups
-from .grouped import _padded_pp, _rank_bracket_row, _rank_fill_unsort
+from .grouped import _padded_pp, _rank_bracket_row, apply_ranked_rows
 
 __all__ = ["StreamTables", "build_stream_tables", "streaming_qm_transform"]
 
@@ -256,7 +257,7 @@ def streaming_qm_transform(
                 line = f_slope[..., None] * jnp.arange(Lt, dtype=dtype) + f_intercept[..., None]
                 src = src - line
             masked = jnp.where(fit_mask, src, inf)
-            svals = jnp.sort(masked.reshape(-1, Lt), axis=-1).reshape(*lead, Gc, Lt)
+            svals = sort_rows_auto(masked.reshape(-1, Lt)).reshape(*lead, Gc, Lt)
 
         # -- queries: rank-bracket map through the fit CDF ----------------
         # (quantile.py:523-545 semantics).  One payload sort recovers each
@@ -271,8 +272,6 @@ def streaming_qm_transform(
             xq = xq - q_line
         mq = jnp.where(tab.q_mask, xq, inf)
         rows_q = mq.reshape(-1, Lq)
-        pos = jnp.broadcast_to(jnp.arange(Lq, dtype=jnp.int32), rows_q.shape)
-        sv, spos = jax.lax.sort((rows_q, pos), num_keys=1, is_stable=True, dimension=1)
 
         v_last = jnp.max(jnp.where(fit_mask, svals, -inf), axis=-1, keepdims=True)
         vals_tab = jnp.where(fit_mask, svals, v_last)
@@ -304,12 +303,13 @@ def streaming_qm_transform(
                 tab.rb_hi_m, hi_i[..., None] + hi_s[..., None] * tab.q_pp, res
             )
 
-        # exact np.interp tie semantics + unsort (see grouped._rank_fill_unsort)
+        # exact np.interp tie semantics + original-order placement (sort-free
+        # counting kernel on TPU; rank sort + run-end fill + unsort elsewhere)
         region = jnp.where(tab.rb_lo_m, 0, jnp.where(tab.rb_hi_m, 2, 1)).astype(
             jnp.int32
         )
         region = jnp.broadcast_to(region, (*lead, Gc, Lq)).reshape(-1, Lq)
-        res = _rank_fill_unsort(res.reshape(-1, Lq), sv, spos, region).reshape(
+        res = apply_ranked_rows(res.reshape(-1, Lq), rows_q, region).reshape(
             *lead, Gc, Lq
         )
 

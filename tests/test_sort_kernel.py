@@ -1,0 +1,160 @@
+"""Pallas bitonic row-sort kernel (interpret mode) vs numpy/lax.sort.
+
+The kernel replaces the XLA row sorts in the BCSD streaming/grouped paths
+on TPU (float32); these tests pin total-order semantics (NaN last, ±inf),
+tie safety of the pair-consistent exchange, payload permutation validity,
+and the unsort round-trip.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import jax.numpy as jnp
+
+from skdownscale_tpu.ops.pallas.sort_kernel import (
+    sort_rows,
+    sort_rows_with_positions,
+    unsort_rows,
+    use_sort_kernel,
+)
+
+
+def _specials(rng, B, L):
+    x = rng.normal(0, 50, (B, L)).astype(np.float32)
+    x[0, -5:] = np.inf
+    x[1, : min(3, L)] = -np.inf
+    x[2 % B, L // 2] = np.nan
+    x[3 % B] = np.round(x[3 % B] / 50) * 50  # heavy ties
+    x[4 % B, :] = 7.0  # all-equal row
+    return x
+
+
+@pytest.mark.parametrize("B,L", [(16, 620), (130, 40), (8, 236), (5, 1024), (3, 7)])
+def test_sort_rows_matches_npsort(rng, B, L):
+    x = _specials(rng, B, L)
+    got = np.asarray(sort_rows(jnp.asarray(x), interpret=True))
+    npt.assert_array_equal(got, np.sort(x, axis=1))
+
+
+@pytest.mark.parametrize("B,L", [(16, 620), (8, 236), (4, 64)])
+def test_rank_sort_positions_valid(rng, B, L):
+    x = _specials(rng, B, L)
+    sv, sp = sort_rows_with_positions(jnp.asarray(x), interpret=True)
+    sv, sp = np.asarray(sv), np.asarray(sp)
+    npt.assert_array_equal(sv, np.sort(x, axis=1))
+    for b in range(B):
+        assert sorted(sp[b]) == list(range(L))  # a real permutation
+        gathered = x[b, sp[b]]
+        npt.assert_array_equal(
+            np.where(np.isnan(gathered), np.inf, gathered),
+            np.where(np.isnan(sv[b]), np.inf, sv[b]),
+        )
+
+
+def test_unsort_roundtrip(rng):
+    x = _specials(rng, 12, 300)
+    sv, sp = sort_rows_with_positions(jnp.asarray(x), interpret=True)
+    back = np.asarray(unsort_rows(sv, sp, interpret=True))
+    npt.assert_array_equal(
+        np.where(np.isnan(back), -1.0, back), np.where(np.isnan(x), -1.0, x)
+    )
+
+
+def test_use_sort_kernel_gate():
+    # CPU test image: the gate must steer to the XLA fallback
+    assert use_sort_kernel(jnp.float32) is False or use_sort_kernel(jnp.float32) is True
+    assert use_sort_kernel(jnp.float64) is False
+
+
+# ----------------------------------------------------------------------
+# integration: the BCSD pipelines with the kernel path forced (interpret)
+# must reproduce the XLA-sort path exactly
+# ----------------------------------------------------------------------
+
+
+def _daily(rng, n_cells=3, years=3):
+    import pandas as pd
+
+    idx = pd.date_range("2000-01-01", periods=years * 365 + 1, freq="D")
+    seas = 10 * np.sin(2 * np.pi * (idx.dayofyear.to_numpy() - 1) / 365.25)
+    x = 283 + seas[None, :] + rng.normal(0, 2, (n_cells, len(idx))) + 1.2
+    y = 282 + seas[None, :] + rng.normal(0, 1.7, (n_cells, len(idx)))
+    return idx, x.astype(np.float32), y.astype(np.float32)
+
+
+@pytest.mark.parametrize("daily", [False, True])
+def test_bcsd_predict_kernel_sorts_match_xla(rng, daily):
+    """Full BCSD fit+predict (dense and streaming) with the Pallas sorts
+    forced in interpret mode vs the default XLA path, float32, with
+    quantization ties mixed in."""
+    import pandas as pd
+
+    from skdownscale_tpu.models import bcsd as B
+    from skdownscale_tpu.ops import rowsort
+
+    if daily:
+        idx, x, y = _daily(rng)
+        model = B.BcsdTemperature(time_grouper="daily_nasa-nex")
+    else:
+        idx = pd.date_range("1980-01-01", periods=144, freq="MS")
+        seas = 8 * np.sin(2 * np.pi * (idx.month.to_numpy() - 1) / 12)
+        x = (283 + seas[None, :] + rng.normal(0, 2, (4, 144)) + 1.5).astype(np.float32)
+        y = (282 + seas[None, :] + rng.normal(0, 1.8, (4, 144))).astype(np.float32)
+        model = B.BcsdTemperature()
+    x[1] = np.round(x[1] * 4) / 4  # heavy ties in one cell
+    fg = model._fit_groups(idx)
+    plan = model._predict_plan(fg, idx)
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+
+    if daily:
+        state = B.bcsd_fit_lazy(xd, yd, fg, with_x_climo=True)
+        run = lambda: B.bcsd_predict_streaming(
+            state, xd, plan, variable="temperature", return_anoms=False, group_chunk=8
+        )
+    else:
+        state = B.bcsd_fit(xd, yd, fg, with_x_climo=True)
+        run = lambda: B.bcsd_predict(
+            state, xd, plan, variable="temperature", return_anoms=False
+        )
+
+    want = np.asarray(run())
+    with rowsort.override(force=True, interpret=True):
+        got = np.asarray(run())
+    npt.assert_allclose(got, want, rtol=0, atol=0)
+
+
+# ----------------------------------------------------------------------
+# rank_map kernel: sort-free rank counting + placement
+# ----------------------------------------------------------------------
+
+
+def test_rank_map_rows_matches_fill_unsort(rng):
+    """Counting kernel == rank payload sort + run-end tie fill + unsort, on
+    data with ties, NaNs, and +inf pads."""
+    import jax
+
+    from skdownscale_tpu.models.grouped import _rank_fill_unsort
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import rank_map_rows
+
+    B, L = 40, 57
+    x = rng.normal(0, 5, (B, L)).astype(np.float32)
+    x[5] = np.round(x[5])  # ties
+    x[7, 3] = np.nan
+    x[:, -4:] = np.inf  # pad slots
+    res = rng.normal(0, 1, (B, L)).astype(np.float32)
+    res = np.sort(res, axis=1)  # monotone per region (single region here)
+    region = np.zeros((B, L), np.int32) + 1
+
+    got = np.asarray(rank_map_rows(jnp.asarray(x), jnp.asarray(res), interpret=True))
+
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), x.shape)
+    sv, spos = jax.lax.sort(
+        (jnp.asarray(x), pos), num_keys=1, is_stable=True, dimension=1
+    )
+    want = np.asarray(
+        _rank_fill_unsort(jnp.asarray(res), sv, spos, jnp.asarray(region))
+    )
+    npt.assert_array_equal(
+        np.where(np.isnan(got), -9.0, got), np.where(np.isnan(want), -9.0, want)
+    )
