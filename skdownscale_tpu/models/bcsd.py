@@ -86,6 +86,7 @@ class _PredictPlan(NamedTuple):
     transform_to_fit: np.ndarray  # (Gt,) fit-row for each transform group
     shift_labels: np.ndarray  # (Tp,) fit-row per predict step (x-climo lookup)
     anom_labels: np.ndarray | None  # (Tp,) fit-row per predict step, None -> raise
+    slide: Any = None  # models.slide.SlidePlan | None (daily sliding-sort path)
 
     def __hash__(self):
         return hash(
@@ -96,6 +97,7 @@ class _PredictPlan(NamedTuple):
                 self.transform_to_fit.tobytes(),
                 self.shift_labels.tobytes(),
                 None if self.anom_labels is None else self.anom_labels.tobytes(),
+                self.slide,
             )
         )
 
@@ -317,9 +319,35 @@ def bcsd_predict_streaming(
     n = x.shape[-1]
     G, L = plan.fit.indices.shape
     lazy = isinstance(state, BcsdLazyState)
+    fit_tab, t2f_tab = plan.fit, plan.transform_to_fit
     if lazy:
         y_climo, x_climo = state.unpack(G)
         source, presorted, state_trend = state.y, False, None
+        # sliding-sorted-window fast path: adjacent consulted DOY windows
+        # share ~30/31 members, so sort window 0 once and slide it with the
+        # Pallas kernel instead of re-sorting every window in the scan
+        # (same svals bit-for-bit; see ops/pallas/slide_sort_kernel.py)
+        if plan.slide is not None and not detrend:
+            from ..ops import rowsort as _rs
+            from ..ops.pallas.slide_sort_kernel import (
+                slide_sorted_windows,
+                use_slide_kernel,
+            )
+
+            if _rs._OVERRIDE is not None:
+                _use, _interp = _rs._OVERRIDE
+            else:
+                _use, _interp = use_slide_kernel(x.dtype), False
+            if _use:
+                from .slide import consulted_groups
+
+                svals = slide_sorted_windows(state.y, plan.slide, interpret=_interp)
+                source = svals.reshape(*svals.shape[:-2], -1).astype(x.dtype)
+                presorted = True
+                fit_tab = consulted_groups(plan.fit, plan.slide)
+                t2f_tab = np.searchsorted(
+                    plan.slide.consulted, plan.transform_to_fit
+                ).astype(np.int32)
     else:
         qm, y_climo, x_climo = state.unpack(G, L)
         source, presorted = qm.vals, True
@@ -338,9 +366,9 @@ def bcsd_predict_streaming(
         x_no_shift = x
 
     tables = build_stream_tables(
-        plan.fit,
+        fit_tab,
         plan.transform,
-        plan.transform_to_fit,
+        t2f_tab,
         alpha=alpha,
         beta=beta,
         n_endpoints=n_endpoints,
@@ -501,9 +529,16 @@ class BcsdBase(SingleCellEstimator):
         rolling = _pandas_partition(index, self.climate_trend)
         t_to_fit = _match_keys(transform.keys, fit_groups.keys, "transform")
         shift_labels = t_to_fit[transform.labels]
+        slide = None
         if self._timestep_kind == "monthly":
             anom_labels = shift_labels
-        return _PredictPlan(fit_groups, transform, rolling, t_to_fit, shift_labels, anom_labels)
+        else:
+            from .slide import build_slide_plan
+
+            slide = build_slide_plan(fit_groups, t_to_fit)
+        return _PredictPlan(
+            fit_groups, transform, rolling, t_to_fit, shift_labels, anom_labels, slide
+        )
 
     # -- API ------------------------------------------------------------
     def fit(self, X, y):

@@ -57,7 +57,7 @@ def use_rank_map_kernel(dtype) -> bool:
     return platform not in ("cpu", "gpu")
 
 
-def _make_kernel(Lp: int):
+def _make_kernel(Lp: int, strip: int = 8):
     """Mosaic lowers neither ``dynamic_slice`` nor gathers inside kernels;
     rows are fetched by a running ``pltpu.roll`` by -8 (a vreg-aligned
     sublane-group move — unaligned roll-by-1 measured ~1.5x slower than the
@@ -66,7 +66,8 @@ def _make_kernel(Lp: int):
     slices.  All ``Lp`` rows are counted: pads are NaN, and
     ``1[NaN <= x] == 0`` for EVERY query (finite, +inf mask pads, NaN), so
     pad rows contaminate no count and pad queries rank -1 -> NaN out."""
-    n_blocks = Lp // 8
+    assert strip % 8 == 0 and Lp % strip == 0
+    n_blocks = Lp // strip
 
     def kernel(xq_ref, res_ref, out_ref):
         xq = xq_ref[:]  # (Lp, TB) queries, original order
@@ -74,9 +75,9 @@ def _make_kernel(Lp: int):
 
         def count(nb, carry):
             cnt, rolled = carry
-            for k in range(8):  # static slices of the front vreg
+            for k in range(strip):  # static slices of the front rows
                 cnt = cnt + (rolled[k : k + 1] <= xq).astype(jnp.int32)
-            return cnt, pltpu.roll(rolled, Lp - 8, axis=0)
+            return cnt, pltpu.roll(rolled, Lp - strip, axis=0)
 
         rank, _ = jax.lax.fori_loop(
             0, n_blocks, count, (jnp.zeros(xq.shape, jnp.int32), xq)
@@ -87,10 +88,10 @@ def _make_kernel(Lp: int):
 
         def place(nb, carry):
             out, rolled = carry
-            base = nb * 8
-            for k in range(8):
+            base = nb * strip
+            for k in range(strip):
                 out = jnp.where(rank == base + k, rolled[k : k + 1], out)
-            return out, pltpu.roll(rolled, Lp - 8, axis=0)
+            return out, pltpu.roll(rolled, Lp - strip, axis=0)
 
         out, _ = jax.lax.fori_loop(
             0, n_blocks, place, (jnp.full(xq.shape, nan, xq.dtype), res)
@@ -106,15 +107,15 @@ def _pick_tb(B: int, Lq: int):
     return max(128, min(-(-B // 128) * 128, tb // 128 * 128, 1024))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def rank_map_rows(xq, res, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "strip"))
+def rank_map_rows(xq, res, *, interpret: bool = False, strip: int = 16):
     """``out[b, t] = res[b, rank of xq[b, t] within row b]`` (NaN -> NaN).
 
     ``xq``: (B, Lq) queries in original order; ``res``: (B, Lq) mapped
     values indexed by rank (run-end tie semantics by construction).
     """
     B, Lq = xq.shape
-    Lp = -(-Lq // 8) * 8  # sublane multiple for Mosaic rolls/slices
+    Lp = -(-Lq // strip) * strip  # strip multiple for aligned rolls/slices
     tb = _pick_tb(B, Lp)
     pad_b = (-B) % tb
     inf = jnp.asarray(jnp.inf, xq.dtype)
@@ -133,7 +134,7 @@ def rank_map_rows(xq, res, *, interpret: bool = False):
     Bp = xqT.shape[1]
     spec = pl.BlockSpec((Lp, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
     outT = pl.pallas_call(
-        _make_kernel(Lp),
+        _make_kernel(Lp, strip),
         out_shape=jax.ShapeDtypeStruct((Lp, Bp), xq.dtype),
         grid=(Bp // tb,),
         in_specs=[spec, spec],
