@@ -173,9 +173,13 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     state = fitj(xd, yd)
-    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile()) + _bytes_accessed(
-        predj.lower(state, xd).compile()
-    )
+    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile())
+    if hasattr(predj, "lowered_parts"):  # two-jit daily pipeline
+        nbytes += sum(
+            _bytes_accessed(l.compile()) for l in predj.lowered_parts(state, xd)
+        )
+    else:
+        nbytes += _bytes_accessed(predj.lower(state, xd).compile())
     return n_cells / dt, dt, nbytes
 
 

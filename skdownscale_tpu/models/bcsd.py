@@ -311,11 +311,19 @@ def bcsd_predict_streaming(
     detrend: bool = False,
     rolling_window: int = 9,
     group_chunk: int = 8,
+    precomputed_svals=None,
 ):
     """``bcsd_predict`` with the grouped QM transform run as a ``lax.scan``
     over transform-group chunks (see :mod:`.streaming`).  Accepts either a
     dense :class:`BcsdState` (pre-sorted group CDFs) or a
-    :class:`BcsdLazyState` (windows gathered+sorted in-chunk)."""
+    :class:`BcsdLazyState` (windows gathered+sorted in-chunk).
+
+    ``precomputed_svals``: consulted-window sorted values from
+    :func:`..ops.pallas.slide_sort_kernel.slide_sorted_windows`, computed in
+    a SEPARATE jit — jitting the slide kernel together with the scan
+    triggers an XLA mega-fusion pathology (measured 9.5 s vs 0.6 s split at
+    32k cells; same failure mode as the fused fit+predict note in
+    CLAUDE.md).  Use :func:`_jit_predict_stream`, which splits the two."""
     n = x.shape[-1]
     G, L = plan.fit.indices.shape
     lazy = isinstance(state, BcsdLazyState)
@@ -328,20 +336,18 @@ def bcsd_predict_streaming(
         # Pallas kernel instead of re-sorting every window in the scan
         # (same svals bit-for-bit; see ops/pallas/slide_sort_kernel.py)
         if plan.slide is not None and not detrend:
-            from ..ops import rowsort as _rs
-            from ..ops.pallas.slide_sort_kernel import (
-                slide_sorted_windows,
-                use_slide_kernel,
-            )
+            svals = precomputed_svals
+            if svals is None and _slide_gate(x.dtype)[0]:
+                # direct callers (tests force via rowsort.override); prefer
+                # _jit_predict_stream on TPU — see precomputed_svals above
+                from ..ops.pallas.slide_sort_kernel import slide_sorted_windows
 
-            if _rs._OVERRIDE is not None:
-                _use, _interp = _rs._OVERRIDE
-            else:
-                _use, _interp = use_slide_kernel(x.dtype), False
-            if _use:
+                svals = slide_sorted_windows(
+                    state.y, plan.slide, interpret=_slide_gate(x.dtype)[1]
+                )
+            if svals is not None:
                 from .slide import consulted_groups
 
-                svals = slide_sorted_windows(state.y, plan.slide, interpret=_interp)
                 source = svals.reshape(*svals.shape[:-2], -1).astype(x.dtype)
                 presorted = True
                 fit_tab = consulted_groups(plan.fit, plan.slide)
@@ -405,15 +411,76 @@ def _jit_fit_lazy(fit_groups: PaddedGroups, with_x_climo: bool):
     return jax.jit(lambda x, y: bcsd_fit_lazy(x, y, fit_groups, with_x_climo=with_x_climo))
 
 
+def _slide_gate(dtype):
+    """(use, interpret) for the sliding-window kernel — the rowsort
+    override (tests) or the TPU/f32 platform gate."""
+    from ..ops import rowsort as _rs
+    from ..ops.pallas.slide_sort_kernel import use_slide_kernel
+
+    if _rs._OVERRIDE is not None:
+        return _rs._OVERRIDE
+    return use_slide_kernel(dtype), False
+
+
+class _StreamPredictor:
+    """Callable wrapper running the daily predict as TWO jits: the sliding
+    sorted-window kernel first, then the scan consuming its output.  One
+    fused jit containing both Pallas kernels hits an XLA scheduling
+    pathology (9.5 s vs 0.6 s split at 32k cells on-chip); splitting is the
+    same cure as the fit/predict jit split documented in CLAUDE.md."""
+
+    def __init__(self, plan: _PredictPlan, kw: dict):
+        self._plan = plan
+        self._kw = kw
+        self._inner = jax.jit(
+            lambda state, x, svals: bcsd_predict_streaming(
+                state, x, plan, precomputed_svals=svals, **kw
+            )
+        )
+        from ..ops.pallas.slide_sort_kernel import slide_sorted_windows
+
+        self._slide = jax.jit(
+            slide_sorted_windows, static_argnames=("plan", "interpret")
+        )
+
+    def _svals(self, state, x):
+        if (
+            self._plan.slide is None
+            or self._kw["detrend"]
+            or not isinstance(state, BcsdLazyState)
+        ):
+            return None
+        use, interp = _slide_gate(x.dtype)
+        if not use:
+            return None
+        return self._slide(state.y, plan=self._plan.slide, interpret=interp)
+
+    def __call__(self, state, x):
+        return self._inner(state, x, self._svals(state, x))
+
+    def lowered_parts(self, state, x):
+        """Lowered stages (for bytes-accessed roofline accounting)."""
+        svals = self._svals(state, x)
+        parts = [self._inner.lower(state, x, svals)]
+        if svals is not None:
+            parts.append(
+                self._slide.lower(
+                    state.y, plan=self._plan.slide, interpret=False
+                )
+            )
+        return parts
+
+    def lower(self, state, x):  # bench/back-compat: the scan stage
+        return self._inner.lower(state, x, self._svals(state, x))
+
+
 @functools.lru_cache(maxsize=128)
 def _jit_predict_stream(
     plan: _PredictPlan, variable, return_anoms, alpha, beta, extrapolate, n_endpoints, detrend, group_chunk
 ):
-    return jax.jit(
-        lambda state, x: bcsd_predict_streaming(
-            state,
-            x,
-            plan,
+    return _StreamPredictor(
+        plan,
+        dict(
             variable=variable,
             return_anoms=return_anoms,
             alpha=alpha,
@@ -422,7 +489,7 @@ def _jit_predict_stream(
             n_endpoints=n_endpoints,
             detrend=detrend,
             group_chunk=group_chunk,
-        )
+        ),
     )
 
 
