@@ -62,6 +62,70 @@ def use_slide_kernel(dtype) -> bool:
     return platform not in ("cpu", "gpu")
 
 
+def _shift_left(vals, key, Wp: int, BW: int, iota):
+    """Monotone bounded shift-left: row ``p`` moves to ``p - key[p]`` for
+    ``key[p] in [0, BW]``; ``key == -1`` rows are dropped; uncovered output
+    rows become ``_PAD``.
+
+    Two-level decomposition ``s = 8a + b``: 8 unaligned single-row rolls
+    for the remainder, then ``BW//8 + 1`` vreg-aligned rolls for the
+    quotient (unaligned sublane rolls are the expensive op — the
+    strip-mining lesson from ``rank_map_kernel``).  No collisions in the
+    intermediate phase: ``key`` is a prefix count of dropped rows, so
+    ``key[p2] - key[p1] <= p2 - p1`` with equality only if every row in
+    ``[p1, p2)`` dropped — impossible for two survivors — and a phase-1
+    (or phase-2) collision would require exactly that equality.  (This
+    bounded-increment property is specific to the compact direction;
+    :func:`_shift_right` needs the opposite phase order.)
+    """
+    v1 = jnp.full(vals.shape, _PAD, vals.dtype)
+    k1 = jnp.full(key.shape, -1, jnp.int32)
+    for b in range(min(BW, 7) + 1):
+        kk = key if b == 0 else pltpu.roll(key, Wp - b, axis=0)
+        vv = vals if b == 0 else pltpu.roll(vals, Wp - b, axis=0)
+        cond = (kk >= 0) & ((kk & 7) == b) & (iota < Wp - b)
+        v1 = jnp.where(cond, vv, v1)
+        k1 = jnp.where(cond, kk, k1)
+    out = jnp.full(vals.shape, _PAD, vals.dtype)
+    for a in range(BW // 8 + 1):
+        s = 8 * a
+        kk = k1 if a == 0 else pltpu.roll(k1, Wp - s, axis=0)
+        vv = v1 if a == 0 else pltpu.roll(v1, Wp - s, axis=0)
+        cond = (kk >= 0) & ((kk >> 3) == a) & (iota < Wp - s)
+        out = jnp.where(cond, vv, out)
+    return out
+
+
+def _shift_right(vals, key, Wp: int, BW: int, iota):
+    """Monotone bounded shift-right: row ``p`` moves to ``p + key[p]``,
+    ``key[p] in [0, BW]`` nondecreasing; rows pushed past ``Wp`` drop;
+    uncovered output rows become ``_PAD``.
+
+    QUOTIENT-FIRST phase order (``8a`` then ``b``): unlike the compact
+    direction, ``key`` here (#inserted below a value) can jump by more
+    than the row gap, so remainder-first would collide (e.g. keys 7 -> 8
+    seven rows apart).  Quotient-first is collision-free: a phase-A
+    collision needs ``a1 > a2`` for ``p2 > p1``, impossible for a
+    nondecreasing key since ``8a2 + b2 >= 8a1 + b1`` forces ``a2 >= a1``;
+    a phase-B collision then forces ``key[p2] < key[p1]``."""
+    v1 = jnp.full(vals.shape, _PAD, vals.dtype)
+    k1 = jnp.full(key.shape, -1, jnp.int32)
+    for a in range(BW // 8 + 1):
+        s = 8 * a
+        kk = key if s == 0 else pltpu.roll(key, s, axis=0)
+        vv = vals if s == 0 else pltpu.roll(vals, s, axis=0)
+        cond = (kk >= 0) & ((kk >> 3) == a) & (iota >= s)
+        v1 = jnp.where(cond, vv, v1)
+        k1 = jnp.where(cond, kk, k1)
+    out = jnp.full(vals.shape, _PAD, vals.dtype)
+    for b in range(min(BW, 7) + 1):
+        kk = k1 if b == 0 else pltpu.roll(k1, b, axis=0)
+        vv = v1 if b == 0 else pltpu.roll(v1, b, axis=0)
+        cond = (kk >= 0) & ((kk & 7) == b) & (iota >= b)
+        out = jnp.where(cond, vv, out)
+    return out
+
+
 def _make_kernel(Wp: int, BW: int, Lt: int):
     def kernel(w0_ref, add_ref, rem_ref, out_ref, w_ref):
         w = pl.program_id(1)
@@ -92,15 +156,7 @@ def _make_kernel(Wp: int, BW: int, Lt: int):
                 shl = shl + (iota > pos).astype(jnp.int32)
 
             key = jnp.where(dead, -1, shl)  # survivor left-shift in [0, BW]
-            Wc = jnp.full(W.shape, _PAD, jnp.int32)
-            for s in range(BW + 1):
-                if s == 0:
-                    kk, vv = key, W
-                else:
-                    kk = pltpu.roll(key, Wp - s, axis=0)  # roll up by s
-                    vv = pltpu.roll(W, Wp - s, axis=0)
-                cond = (kk == s) & (iota < Wp - s)  # mask wrapped rows
-                Wc = jnp.where(cond, vv, Wc)
+            Wc = _shift_left(W, key, Wp, BW, iota)
 
             # -- merge-insert the entering bucket -----------------------
             # survivors shift right by #{a < w} (insert-after-equals);
@@ -109,15 +165,7 @@ def _make_kernel(Wp: int, BW: int, Lt: int):
             shr = jnp.zeros(W.shape, jnp.int32)
             for k in range(BW):
                 shr = shr + (a[k : k + 1] < Wc).astype(jnp.int32)
-            Wn = jnp.full(W.shape, _PAD, jnp.int32)
-            for s in range(BW + 1):
-                if s == 0:
-                    kk, vv = shr, Wc
-                else:
-                    kk = pltpu.roll(shr, s, axis=0)  # roll down by s
-                    vv = pltpu.roll(Wc, s, axis=0)
-                cond = (kk == s) & (iota >= s)
-                Wn = jnp.where(cond, vv, Wn)
+            Wn = _shift_right(Wc, shr, Wp, BW, iota)
             for k in range(BW):
                 ak = a[k : k + 1]
                 cnt = jnp.sum((Wc <= ak).astype(jnp.int32), axis=0, keepdims=True)

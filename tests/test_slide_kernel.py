@@ -117,3 +117,28 @@ def test_daily_bcsd_slide_path_bitwise(rng, variable):
     with rowsort.override(force=True, interpret=True):
         got = np.asarray(run())
     npt.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_slide_windows_clustered_inserts(rng):
+    """Adversarial case for the two-level shift decomposition: an entering
+    bucket clustered inside a value gap makes the expand shift jump by more
+    than the row gap (e.g. 7 -> 8 across adjacent rows), which collides if
+    the remainder phase runs first.  Build windows whose entering day's
+    values all fall between two tight value bands."""
+    ti = TimeIndex.from_pandas(_daily_index(years=3))
+    fit = padded_doy_groups(ti, offset=15)
+    plan = build_slide_plan(fit, np.arange(31))
+    C, T = 3, len(ti.dayofyear)
+    doy = ti.dayofyear
+    y = np.where(doy[None, :] % 2 == 0, -100.0, 100.0).astype(np.float32)
+    y = y + rng.normal(0, 0.1, (C, T)).astype(np.float32)
+    # entering buckets (one DOY at a time) land mid-gap
+    y[:, doy >= 17] = rng.normal(0, 0.5, (C, int((doy >= 17).sum()))).astype(
+        np.float32
+    )
+    got = np.asarray(slide_sorted_windows(jnp.asarray(y), plan, interpret=True))
+    for i, g in enumerate(plan.consulted):
+        cnt = int(fit.counts[g])
+        members = fit.indices[g, :cnt]
+        want = np.sort(y[:, members], axis=-1)[:, :cnt]
+        npt.assert_array_equal(got[:, i, :cnt], want)
