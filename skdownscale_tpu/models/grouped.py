@@ -26,6 +26,7 @@ with ``+inf``; plotting-position tables repeat their last valid entry.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -70,9 +71,32 @@ def gather_groups(x, groups: PaddedGroups, fill=jnp.inf):
     return jnp.where(jnp.asarray(groups.mask.reshape(-1)), g, fill)
 
 
+@functools.lru_cache(maxsize=256)
+def _inverse_perm(groups: PaddedGroups, n: int) -> np.ndarray | None:
+    """Host inverse of a partition grouping: ``inv[t]`` = flat (g, l) slot of
+    time step ``t``, or None if the groups don't cover [0, n) exactly once."""
+    flat_idx = groups.indices.reshape(-1)
+    mask = groups.mask.reshape(-1)
+    tgt = flat_idx[mask]
+    if tgt.size != n or not np.array_equal(np.sort(tgt), np.arange(n)):
+        return None
+    inv = np.zeros(n, np.int32)
+    inv[tgt] = np.nonzero(mask)[0].astype(np.int32)
+    return inv
+
+
 def scatter_groups(vals_flat, groups: PaddedGroups, n: int):
     """Scatter flat padded group rows (..., G*L) back to (..., n) (partition
-    groups: each time index appears in exactly one (group, slot))."""
+    groups: each time index appears in exactly one (group, slot)).
+
+    A partition scatter is a pure permutation, so it lowers as a static
+    gather by the host-precomputed inverse — measured 3.4x faster than the
+    ``.at[].add`` scatter on TPU (112 -> 33 ms on (32k, 7440) -> (32k, 7305),
+    ``benchmarks/rolling_profile_tpu.py``).  Non-partition groupings (never
+    produced by the current callers) fall back to the scatter-add."""
+    inv = _inverse_perm(groups, n)
+    if inv is not None:
+        return vals_flat[..., inv]
     contrib = jnp.where(jnp.asarray(groups.mask.reshape(-1)), vals_flat, 0.0)
     flat_idx = groups.indices.reshape(-1)
     lead = vals_flat.shape[:-1]

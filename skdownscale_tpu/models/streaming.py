@@ -233,7 +233,23 @@ def streaming_qm_transform(
     NC, GcLt = tables.fit_take.shape
     Gc, Lt = tables.fit_mask.shape[1:]
     Lq = tables.q_mask.shape[-1]
+    K = Gc * Lq
     inf = jnp.asarray(jnp.inf, dtype)
+
+    # The transform groups partition the output axis, so instead of a
+    # scatter-add into a time-ordered carry each step (TPU scatters measured
+    # 3.4x slower than gathers, benchmarks/rolling_profile_tpu.py), keep the
+    # carry in GROUP order: each step writes its chunk's contiguous
+    # ``dynamic_update_slice``, ``out_init`` is pre-gathered into group order
+    # (static host indices), and one static inverse-permutation gather
+    # restores time order at the end.
+    flat_q = np.asarray(tables.q_take).reshape(-1)
+    flat_m = np.asarray(tables.q_mask).reshape(-1)
+    tgt = flat_q[flat_m]
+    group_order = tgt.size == n_out and np.array_equal(np.sort(tgt), np.arange(n_out))
+    if group_order:
+        inv_t = np.zeros(n_out, np.int32)
+        inv_t[tgt] = np.nonzero(flat_m)[0].astype(np.int32)
 
     def _as_dev(a):
         a = jnp.asarray(a)
@@ -241,7 +257,8 @@ def streaming_qm_transform(
 
     tabs = jax.tree_util.tree_map(_as_dev, tables)
 
-    def chunk(carry, tab):
+    def chunk(carry, tab_step):
+        tab, step = tab_step
         fit_mask = tab.fit_mask  # (Gc, Lt)
         # -- fit window -> sorted per-group CDF values ------------------
         src = jnp.take(source, tab.fit_take, axis=-1).reshape(*lead, Gc, Lt)
@@ -319,14 +336,31 @@ def streaming_qm_transform(
             res = res - (q_intercept - f_intercept)[..., None]
 
         out = jnp.where(tab.q_mask, res, 0.0).reshape(*lead, Gc * Lq)
-        carry = carry.at[..., tab.q_take].add(out)
+        if group_order:
+            prev = jax.lax.dynamic_slice_in_dim(carry, step * K, K, axis=-1)
+            carry = jax.lax.dynamic_update_slice_in_dim(
+                carry, prev + out, step * K, axis=-1
+            )
+        else:
+            carry = carry.at[..., tab.q_take].add(out)
         return carry, None
 
-    if out_init is None:
+    if group_order:
+        # carry holds the group-ordered output; out_init (climate-trend
+        # shift, -climatology) pre-gathered by the host chunk tables
+        if out_init is None:
+            out0 = jnp.zeros((*lead, NC * K), dtype)
+        else:
+            out0 = jnp.broadcast_to(out_init, (*lead, n_out)).astype(dtype)[
+                ..., flat_q
+            ]
+    elif out_init is None:
         out0 = jnp.zeros((*lead, n_out), dtype)
     else:
-        # additive terms (climate-trend shift, -climatology) folded into the
-        # scan carry: one less live (cells, T) buffer at continental scale
+        # additive terms folded into the scan carry: one less live
+        # (cells, T) buffer at continental scale
         out0 = jnp.broadcast_to(out_init, (*lead, n_out)).astype(dtype)
-    out, _ = jax.lax.scan(chunk, out0, tabs)
+    out, _ = jax.lax.scan(chunk, out0, (tabs, jnp.arange(NC)))
+    if group_order:
+        out = out[..., inv_t]
     return out

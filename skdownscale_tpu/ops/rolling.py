@@ -18,6 +18,12 @@ import numpy as np
 
 __all__ = ["rolling_mean", "rolling_std", "rolling_sum_count", "rolling_mean_grouped_flat"]
 
+# Unroll the windowed sum below this many input elements (2.4 GB f32): the
+# unrolled form is one fused HBM pass but lets XLA keep ~w slices of the
+# padded buffer live if it declines to fuse; the fori_loop form is w passes
+# but O(1) extra memory (the continental-scale default).
+_UNROLL_ELEMS = 600_000_000
+
 
 def _window_sum(x, window: int, center: bool):
     """Sum over a trailing (or centered) window via padded sliding adds.
@@ -85,10 +91,21 @@ def rolling_mean_grouped_flat(x_flat, window: int, valid: np.ndarray, *, min_per
     )
     segd = jnp.asarray(seg, dtype)
 
-    def body(j, acc):
-        return acc + jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1) * segd[j]
+    if x_flat.size <= _UNROLL_ELEMS:
+        # static slices of the ONE padded buffer: XLA fuses the w adds into
+        # a single HBM pass (the round-2 1M-cell OOM came from w separate
+        # jnp.pad-shifted COPIES, not from unrolling per se; slices of a
+        # shared buffer add no live copies).  Measured 2.7x over the
+        # fori_loop at 32k cells (benchmarks/rolling_profile_tpu.py).
+        s = jnp.zeros_like(x_flat)
+        for j in range(w):
+            s = s + jax.lax.slice_in_dim(xp, j, j + n, axis=-1) * segd[j]
+    else:
 
-    s = jax.lax.fori_loop(0, w, body, jnp.zeros_like(x_flat))
+        def body(j, acc):
+            return acc + jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1) * segd[j]
+
+        s = jax.lax.fori_loop(0, w, body, jnp.zeros_like(x_flat))
     denom = jnp.asarray(np.where(cnt > 0, cnt, 1.0), dtype)
     keep = jnp.asarray((cnt >= min_periods) & vflat)
     return jnp.where(keep, s / denom, 0.0)

@@ -217,3 +217,36 @@ def test_nan_queries_propagate_and_stay_local(rng):
         outs.append(out)
     # the real invariant: dense and streaming treat NaN queries identically
     npt.assert_allclose(outs[0], outs[1], rtol=1e-12, atol=1e-12)
+
+
+def test_scatter_groups_partition_vs_scatter_add(rng):
+    """scatter_groups takes the inverse-permutation gather path for
+    partition groupings; it must equal the scatter-add it replaced, and
+    non-partition (overlapping) groupings must still use the fallback."""
+    from skdownscale_tpu.models.grouped import _inverse_perm, scatter_groups
+    from skdownscale_tpu.utils.timeindex import PaddedGroups
+
+    n = 23
+    labels = rng.integers(0, 4, n)
+    groups = PaddedGroups.from_labels(labels, np.arange(4))
+    vals = rng.normal(size=(2, groups.n_groups * groups.max_len))
+    out = np.asarray(scatter_groups(jnp.asarray(vals), groups, n))
+    # manual scatter-add
+    ref = np.zeros((2, n))
+    flat_idx = groups.indices.reshape(-1)
+    flat_m = groups.mask.reshape(-1)
+    for j in np.nonzero(flat_m)[0]:
+        ref[:, flat_idx[j]] += vals[:, j]
+    npt.assert_array_equal(out, ref)
+
+    # overlapping groups (same index in two groups) -> no inverse perm
+    over = PaddedGroups(
+        indices=np.array([[0, 1], [1, 2]], np.int32),
+        mask=np.ones((2, 2), bool),
+        counts=np.array([2, 2], np.int32),
+        keys=np.arange(2),
+    )
+    assert _inverse_perm(over, 3) is None
+    vals2 = rng.normal(size=(4,))
+    out2 = np.asarray(scatter_groups(jnp.asarray(vals2), over, 3))
+    npt.assert_array_equal(out2, [vals2[0], vals2[1] + vals2[2], vals2[3]])
