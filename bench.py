@@ -297,7 +297,7 @@ _MXU_PEAK = 3.94e14
 _VPU_PEAK = 3.9e12
 
 
-def _gard_bounds(n_cells, n_train, n_queries, f, dt, extra_mxu_macs=0.0):
+def _gard_bounds(n_cells, n_train, n_queries, f, dt, extra_mxu_macs=0.0, newton_iters=0):
     """Analytic per-configuration bounds for the fused GARD kernels.
 
     The kernel is selection-dominated: per query, 31 distance-bit bisection
@@ -305,14 +305,21 @@ def _gard_bounds(n_cells, n_train, n_queries, f, dt, extra_mxu_macs=0.0):
     compare -> int cast -> sublane reduce-add (~3 ops/element; offloading
     the count to 0/1-bf16 MXU matmuls was measured 16x SLOWER — each tiny
     matmul serializes against the VPU inside the sequential bisection loop,
-    see ROUND_NOTES r3).  Returns a dict with the analytic floor times and
-    the implied utilization of the binding resource.
+    see ROUND_NOTES r3).  ``newton_iters`` adds the AR kernel's in-VMEM
+    damped-Newton logistic (per iteration a sigmoid + 2 elementwise mults
+    over the full (n_pad, mq) block, ~8 VPU-op-equivalents/element) so the
+    AR bound covers its real work, not just selection.  Measured stage
+    split at 2048 cells (benchmarks/ar_profile_tpu.py): selection+distances
+    282 ms, +45 ms OLS stats, +159 ms Newton, +~165 ms XLA finish/wrapper.
+    Returns a dict with the analytic floor times and the implied
+    utilization of the binding resource.
     """
     n_pad = -(-n_train // 128) * 128
     mq = -(-n_queries // 128) * 128
     passes = 31 + max(1, (n_pad - 1).bit_length())
     # compare + select->int + reduce-add per (train, query, pass) element
     vpu_ops = n_cells * mq * n_pad * passes * 3.0
+    vpu_ops += n_cells * mq * n_pad * newton_iters * 8.0
     mxu_macs = n_cells * (
         8 * n_pad * mq * 6  # HIGHEST-precision distance cross (~6 bf16 passes)
         + 4 * n_pad * mq  # stats mask matmuls
@@ -415,7 +422,7 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (365 local logistic+linear fits per cell, k=200)",
                     "vs_baseline": round(cps / 0.55, 1),  # measured reference rate
-                    **_gard_bounds(n, 3650, 365, 2, dt, extra_mxu_macs=extra),
+                    **_gard_bounds(n, 3650, 365, 2, dt, extra_mxu_macs=extra, newton_iters=12),
                 }
             )
         )
