@@ -160,3 +160,23 @@ class TestRolling:
         expected = s.rolling(window, center=True).std()
         got = np.asarray(rolling_std(jnp.asarray(s.to_numpy()), window))
         npt.assert_allclose(got, expected.to_numpy(), rtol=1e-7, equal_nan=True)
+
+
+def test_rolling_grouped_flat_unroll_matches_fori(rng):
+    """The size-gated unrolled window sum (ops/rolling.py:_UNROLL_ELEMS)
+    must be bit-identical to the fori_loop form (same addition order)."""
+    from skdownscale_tpu.ops import rolling as R
+
+    G, L = 5, 37
+    valid = np.zeros((G, L), bool)
+    for g in range(G):
+        valid[g, : rng.integers(5, L + 1)] = True
+    x = jnp.asarray(rng.normal(size=(3, G * L)))
+    a = R.rolling_mean_grouped_flat(x, 9, valid)
+    saved = R._UNROLL_ELEMS
+    try:
+        R._UNROLL_ELEMS = 0  # force the fori_loop path
+        b = R.rolling_mean_grouped_flat(x, 9, valid)
+    finally:
+        R._UNROLL_ELEMS = saved
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
