@@ -343,12 +343,20 @@ def bcsd_predict_streaming(
                 from ..ops.pallas.slide_sort_kernel import slide_sorted_windows
 
                 svals = slide_sorted_windows(
-                    state.y, plan.slide, interpret=_slide_gate(x.dtype)[1]
+                    state.y,
+                    plan.slide,
+                    n_rows=_slide_n_rows(plan, group_chunk),
+                    interpret=_slide_gate(x.dtype)[1],
                 )
             if svals is not None:
                 from .slide import consulted_groups
 
-                source = svals.reshape(*svals.shape[:-2], -1).astype(x.dtype)
+                # svals is already FLAT (..., n_rows*Lto) — the kernel pads
+                # each window row to the sublane tile and the trailing rows
+                # to a chunkable width, so the scan slices windows
+                # contiguously (no reshape copy, no gather; the 3-D
+                # round-trip was a ~5 GB copy at 65k cells)
+                source = svals.astype(x.dtype)
                 presorted = True
                 fit_tab = consulted_groups(plan.fit, plan.slide)
                 t2f_tab = np.searchsorted(
@@ -422,6 +430,15 @@ def _slide_gate(dtype):
     return use_slide_kernel(dtype), False
 
 
+def _slide_n_rows(plan: _PredictPlan, group_chunk: int) -> int:
+    """Slide output rows padded to the scan's chunk grid (NC*Gc transform
+    groups), so chunk ``c`` can slice windows ``[c*Gc, (c+1)*Gc)`` straight
+    out of the flat svals (see ``streaming_qm_transform`` contiguity)."""
+    Gt = plan.transform.indices.shape[0]
+    Gc = min(group_chunk, Gt)
+    return -(-Gt // Gc) * Gc
+
+
 class _StreamPredictor:
     """Callable wrapper running the daily predict as TWO jits: the sliding
     sorted-window kernel first, then the scan consuming its output.  One
@@ -440,7 +457,7 @@ class _StreamPredictor:
         from ..ops.pallas.slide_sort_kernel import slide_sorted_windows
 
         self._slide = jax.jit(
-            slide_sorted_windows, static_argnames=("plan", "interpret")
+            slide_sorted_windows, static_argnames=("plan", "n_rows", "interpret")
         )
 
     def _svals(self, state, x):
@@ -453,7 +470,12 @@ class _StreamPredictor:
         use, interp = _slide_gate(x.dtype)
         if not use:
             return None
-        return self._slide(state.y, plan=self._plan.slide, interpret=interp)
+        return self._slide(
+            state.y,
+            plan=self._plan.slide,
+            n_rows=_slide_n_rows(self._plan, self._kw["group_chunk"]),
+            interpret=interp,
+        )
 
     def __call__(self, state, x):
         return self._inner(state, x, self._svals(state, x))
@@ -465,7 +487,10 @@ class _StreamPredictor:
         if svals is not None:
             parts.append(
                 self._slide.lower(
-                    state.y, plan=self._plan.slide, interpret=False
+                    state.y,
+                    plan=self._plan.slide,
+                    n_rows=_slide_n_rows(self._plan, self._kw["group_chunk"]),
+                    interpret=False,
                 )
             )
         return parts

@@ -36,7 +36,12 @@ class SlidePlan(NamedTuple):
     w0_idx: np.ndarray  # (Wp,) int32 time indices, -1 padded
     add_idx: np.ndarray  # (S, BW) int32
     rem_idx: np.ndarray  # (S, BW) int32
-    Lt: int  # output row width (= fit.indices.shape[1])
+    Lt: int  # true window width (= fit.indices.shape[1])
+
+    @property
+    def Lto(self) -> int:
+        """Kernel output row width: ``Lt`` padded to the f32 sublane tile."""
+        return -(-self.Lt // 8) * 8
 
     def __hash__(self):
         return hash(
@@ -103,11 +108,18 @@ def build_slide_plan(
 
 def consulted_groups(fit: PaddedGroups, plan: SlidePlan) -> PaddedGroups:
     """The fit groups restricted to the plan's consulted rows, re-keyed so
-    that row ``i`` matches output row ``i`` of the slide kernel."""
+    that row ``i`` matches output row ``i`` of the slide kernel.
+
+    Rows are widened from ``Lt`` to ``Lto`` (the kernel's sublane-padded
+    width) so downstream group tables stride exactly over the kernel's
+    flat output; the extra slots are masked padding."""
     rows = plan.consulted.astype(np.int64)
+    pad = plan.Lto - plan.Lt
+    idx = np.pad(fit.indices[rows], ((0, 0), (0, pad)))
+    mask = np.pad(fit.mask[rows], ((0, 0), (0, pad)))
     return PaddedGroups(
-        indices=fit.indices[rows],
-        mask=fit.mask[rows],
+        indices=idx,
+        mask=mask,
         counts=fit.counts[rows],
         keys=fit.keys[rows],
     )

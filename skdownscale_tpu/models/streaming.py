@@ -251,6 +251,22 @@ def streaming_qm_transform(
         inv_t = np.zeros(n_out, np.int32)
         inv_t[tgt] = np.nonzero(flat_m)[0].astype(np.int32)
 
+    # When a pre-sorted source lays its windows out in chunk order (the
+    # slide-kernel flat svals: live group g at columns [g*Lt, (g+1)*Lt)),
+    # each chunk's fit window is one contiguous ``dynamic_slice`` — no
+    # gather.  XLA's traced-index gather strategy materialized multi-GB
+    # source copies at 65k cells (the round-3 OOM); dead (masked) rows may
+    # hold anything since every downstream read is masked, so only live
+    # rows need to sit at their range position and the source must cover
+    # the full NC*Gc*Lt span.
+    fit_contig = presorted and source.shape[-1] >= NC * GcLt
+    if fit_contig:
+        ft = np.asarray(tables.fit_take).reshape(NC, Gc, Lt)
+        fm = np.asarray(tables.fit_mask)
+        exp = np.arange(NC * GcLt).reshape(NC, Gc, Lt)
+        live = fm.any(axis=-1)
+        fit_contig = bool(np.array_equal(ft[live], exp[live]))
+
     def _as_dev(a):
         a = jnp.asarray(a)
         return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
@@ -261,7 +277,12 @@ def streaming_qm_transform(
         tab, step = tab_step
         fit_mask = tab.fit_mask  # (Gc, Lt)
         # -- fit window -> sorted per-group CDF values ------------------
-        src = jnp.take(source, tab.fit_take, axis=-1).reshape(*lead, Gc, Lt)
+        if fit_contig:
+            src = jax.lax.dynamic_slice_in_dim(
+                source, step * GcLt, GcLt, axis=-1
+            ).reshape(*lead, Gc, Lt)
+        else:
+            src = jnp.take(source, tab.fit_take, axis=-1).reshape(*lead, Gc, Lt)
         if presorted:
             svals = src  # already sorted + inf-padded state rows
             if detrend:

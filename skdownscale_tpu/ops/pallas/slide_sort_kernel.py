@@ -235,15 +235,24 @@ def _gather_keys(bits, idx_host):
     return jnp.where(padm, jnp.int32(_PAD), taken)
 
 
-def slide_sorted_windows(y, plan, *, interpret: bool = False):
-    """Sorted values of every consulted fit window: (..., n_windows, Lt).
+def slide_sorted_windows(y, plan, *, n_rows: int | None = None, interpret: bool = False):
+    """Sorted values of every consulted fit window, FLAT: (..., n_rows*Lto).
 
-    ``y``: (..., T) float32 series; ``plan``: a ``models.slide.SlidePlan``.
-    Row ``i`` equals ``jnp.sort(window_i values)[:Lt]`` for the first
-    ``count_i`` positions (the only positions downstream consults; pad
-    positions hold +inf).  Equivalent by construction to the per-window
-    ``lax.sort`` the streaming scan would do (``quantile.py:346,462``
-    delegated-sort semantics).
+    ``y``: (..., T) float32 series; ``plan``: a ``models.slide.SlidePlan``;
+    ``Lto = ceil(plan.Lt / 8) * 8`` (the kernel's sublane-padded row width,
+    ``plan.Lto``).  Window ``i`` occupies columns ``[i*Lto, (i+1)*Lto)``;
+    its first ``count_i`` positions equal ``jnp.sort(window_i values)
+    [:count_i]`` (the only positions downstream consults; pad positions and
+    the ``n_rows - n_windows`` trailing pad windows hold +inf).  Equivalent
+    by construction to the per-window ``lax.sort`` the streaming scan would
+    do (``quantile.py:346,462`` delegated-sort semantics).
+
+    The flat layout is deliberate: a (..., S, Lto) output re-tiles its two
+    minor dims and the consumer's flatten back is a ~5 GB copy at 65k
+    cells (the round-3 OOM); here the one transpose out of the kernel's
+    (rows, cells) layout is the only copy, and ``n_rows`` lets the caller
+    pad to a chunkable width so the streaming scan can consume windows by
+    contiguous ``dynamic_slice`` instead of gathers.
     """
     lead = y.shape[:-1]
     yf = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
@@ -262,7 +271,10 @@ def slide_sorted_windows(y, plan, *, interpret: bool = False):
         w0, addb, remb,
         n_windows=S, Lt=plan.Lt, BW=BW, interpret=interpret,
     )  # (S*Lto, C)
-    out = jnp.where(out == _PAD, jnp.int32(_INF_BITS), out)
-    vals = _from_ordered_int(out)  # (S*Lto, C)
     Lto = out.shape[0] // S
-    return vals.T.reshape(*lead, S, Lto)[..., : plan.Lt]
+    if n_rows is not None and n_rows != S:
+        assert n_rows > S, "n_rows must cover every consulted window"
+        out = jnp.pad(out, ((0, (n_rows - S) * Lto), (0, 0)), constant_values=_PAD)
+    out = jnp.where(out == _PAD, jnp.int32(_INF_BITS), out)
+    vals = _from_ordered_int(out)  # (n_rows*Lto, C)
+    return vals.T.reshape(*lead, vals.shape[0])

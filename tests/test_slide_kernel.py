@@ -64,7 +64,9 @@ def test_slide_windows_match_per_window_sort(rng):
     y = rng.normal(280, 10, (C, T)).astype(np.float32)
     y[1] = np.round(y[1])  # heavy ties
     y[3] = np.nan  # all-NaN cell
-    got = np.asarray(slide_sorted_windows(jnp.asarray(y), plan, interpret=True))
+    got = np.asarray(
+        slide_sorted_windows(jnp.asarray(y), plan, interpret=True)
+    ).reshape(C, len(plan.consulted), plan.Lto)
     for i, g in enumerate(plan.consulted):
         cnt = int(fit.counts[g])
         members = fit.indices[g, :cnt]
@@ -84,7 +86,8 @@ def test_consulted_groups_rekey():
     fit = padded_doy_groups(ti, offset=15)
     plan = build_slide_plan(fit, np.arange(31))
     fc = consulted_groups(fit, plan)
-    assert fc.indices.shape == (31, fit.indices.shape[1])
+    assert fc.indices.shape == (31, plan.Lto)
+    assert not fc.mask[:, fit.indices.shape[1] :].any()
     npt.assert_array_equal(fc.counts, fit.counts[plan.consulted])
 
 
@@ -136,7 +139,9 @@ def test_slide_windows_clustered_inserts(rng):
     y[:, doy >= 17] = rng.normal(0, 0.5, (C, int((doy >= 17).sum()))).astype(
         np.float32
     )
-    got = np.asarray(slide_sorted_windows(jnp.asarray(y), plan, interpret=True))
+    got = np.asarray(
+        slide_sorted_windows(jnp.asarray(y), plan, interpret=True)
+    ).reshape(C, len(plan.consulted), plan.Lto)
     for i, g in enumerate(plan.consulted):
         cnt = int(fit.counts[g])
         members = fit.indices[g, :cnt]
