@@ -38,6 +38,20 @@ def _device_peak_bw():
     return None
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: measured 175.6 s -> 1.4 s for the
+    same shape across processes over the remote-compile tunnel (round 3).
+    Steady-state timings are unaffected (compile is excluded anyway); this
+    only removes the multi-minute first-compile per process."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+
 def _bytes_accessed(compiled):
     """XLA's own bytes-accessed estimate for a compiled executable (reads +
     writes over all ops, i.e. achieved-traffic upper bound for one run)."""
@@ -407,6 +421,7 @@ def bench_gard(n_cells=2048, n_train=3650, n_queries=365, k=200, n_iters=2):
 
 
 def main():
+    _enable_compile_cache()
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     model = sys.argv[2] if len(sys.argv) > 2 else "bcsd"
     if model == "gard":
