@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from bench import _enable_compile_cache
+
+_enable_compile_cache()  # persistent XLA cache: 175 s -> 1.4 s recompiles
+
 import numpy as np
 import jax
 import jax.numpy as jnp
