@@ -147,11 +147,14 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144, streamin
     return n_cells / dt, dt, nbytes
 
 
-def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8):
+def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8, cells_per_pass=32768):
     """Daily ('daily_nasa-nex') BCSD fit+predict — the 366 ±15-day DOY-window
     flavor (BASELINE.md config 5).  Runs the streaming formulation: lazy fit
-    (climatology matmuls) + group-chunked lax.scan predict, single device
-    pass (the dense path capped near ~3k cells/pass)."""
+    (climatology matmuls) + group-chunked lax.scan predict.  Above
+    ``cells_per_pass`` the run chunks the cell axis (the single-pass HBM
+    ceiling with the slide-kernel svals is between 32k and 64k cells —
+    measured runtime OOM at 65,536; production grids chunk the same way via
+    the batched registry)."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
@@ -172,12 +175,18 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8):
     predj = _jit_predict_stream(
         plan, "temperature", False, 0.4, 0.4, "both", 10, False, group_chunk
     )
-    xd, yd = jax.device_put(x), jax.device_put(y)
+    cp = min(cells_per_pass, n_cells)
+    n_chunks = -(-n_cells // cp)
+    xs = [jax.device_put(x[i * cp : (i + 1) * cp]) for i in range(n_chunks)]
+    ys = [jax.device_put(y[i * cp : (i + 1) * cp]) for i in range(n_chunks)]
 
     def run():
-        state = fitj(xd, yd)
-        out = predj(state, xd)
-        return float(jnp.sum(out))
+        s = 0.0
+        for xd, yd in zip(xs, ys):
+            state = fitj(xd, yd)
+            out = predj(state, xd)
+            s += float(jnp.sum(out))
+        return s
 
     run()
     times = []
@@ -186,15 +195,15 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8):
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    state = fitj(xd, yd)
-    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile())
+    state = fitj(xs[0], ys[0])
+    nbytes = _bytes_accessed(fitj.lower(xs[0], ys[0]).compile())
     if hasattr(predj, "lowered_parts"):  # two-jit daily pipeline
         nbytes += sum(
-            _bytes_accessed(l.compile()) for l in predj.lowered_parts(state, xd)
+            _bytes_accessed(l.compile()) for l in predj.lowered_parts(state, xs[0])
         )
     else:
-        nbytes += _bytes_accessed(predj.lower(state, xd).compile())
-    return n_cells / dt, dt, nbytes
+        nbytes += _bytes_accessed(predj.lower(state, xs[0]).compile())
+    return n_cells / dt, dt, nbytes * n_chunks
 
 
 def bench_arrm(n_cells=16384, n_time=1000, n_iters=2, fit_option="arrm"):
