@@ -97,9 +97,44 @@ def linreg_fit(X, y, w=None):
 
 def _psolve(G, b):
     """Solve G x = b for symmetric PSD G via eigendecomposition pinv
-    (rank-deficient safe, vmappable, TPU-friendly)."""
+    (rank-deficient safe, vmappable, TPU-friendly).
+
+    For the 1x1 and 2x2 systems that dominate GARD (f <= 2) the
+    eigendecomposition is analytic — elementwise ops instead of an ``eigh``
+    custom call per tiny matrix (747k of them per AnalogRegression predict
+    at bench sizes; the eigh path was most of the 165 ms XLA finish).  Same
+    spectral cutoff, so rank-deficient behavior is identical to round-off.
+    """
+    n = G.shape[0]
+    eps = jnp.finfo(G.dtype).eps
+    if n == 1:
+        g = G[0, 0]
+        keep = g > eps * jnp.abs(g)  # g > 0 up to round-off, as the eigh path
+        return jnp.where(keep, b / jnp.where(keep, g, 1.0), 0.0)
+    if n == 2:
+        a, c, off = G[0, 0], G[1, 1], G[0, 1]
+        h = 0.5 * (a + c)
+        d = 0.5 * (a - c)
+        r = jnp.sqrt(d * d + off * off)
+        l1, l2 = h + r, h - r
+        cutoff = eps * 2.0 * jnp.maximum(jnp.abs(l1), jnp.abs(l2))
+        # eigenvector for l1 from whichever (G - l1 I) row is better
+        # conditioned; the degenerate G = h*I case (both rows ~0) falls back
+        # to (1, 0) — any orthonormal basis gives the same pinv
+        v1a = jnp.stack([off, l1 - a])
+        v1b = jnp.stack([l1 - c, off])
+        n1a = jnp.sum(v1a * v1a)
+        n1b = jnp.sum(v1b * v1b)
+        v1 = jnp.where(n1a >= n1b, v1a, v1b)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(v1 * v1), 0.0))
+        v1 = jnp.where(norm > 0, v1 / jnp.where(norm > 0, norm, 1.0), jnp.asarray([1.0, 0.0], G.dtype))
+        v2 = jnp.stack([-v1[1], v1[0]])
+        x = jnp.zeros_like(b)
+        x = x + jnp.where(l1 > cutoff, jnp.dot(v1, b) / jnp.where(l1 > cutoff, l1, 1.0), 0.0) * v1
+        x = x + jnp.where(l2 > cutoff, jnp.dot(v2, b) / jnp.where(l2 > cutoff, l2, 1.0), 0.0) * v2
+        return x
     evals, evecs = jnp.linalg.eigh(G)
-    cutoff = jnp.finfo(G.dtype).eps * G.shape[0] * jnp.max(jnp.abs(evals))
+    cutoff = eps * n * jnp.max(jnp.abs(evals))
     inv = jnp.where(evals > cutoff, 1.0 / jnp.where(evals > cutoff, evals, 1.0), 0.0)
     return evecs @ (inv * (evecs.T @ b))
 

@@ -180,3 +180,37 @@ def test_rolling_grouped_flat_unroll_matches_fori(rng):
     finally:
         R._UNROLL_ELEMS = saved
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_psolve_analytic_matches_eigh(rng):
+    """The analytic 1x1/2x2 _psolve paths must reproduce the eigh-pinv
+    (same spectral cutoff) including rank-deficient and isotropic cases."""
+    from skdownscale_tpu.ops.regression import _psolve
+
+    def eigh_psolve(G, b):
+        evals, evecs = jnp.linalg.eigh(G)
+        cutoff = jnp.finfo(G.dtype).eps * G.shape[0] * jnp.max(jnp.abs(evals))
+        inv = jnp.where(
+            evals > cutoff, 1.0 / jnp.where(evals > cutoff, evals, 1.0), 0.0
+        )
+        return evecs @ (inv * (evecs.T @ b))
+
+    worst = 0.0
+    for trial in range(300):
+        k = int(rng.integers(1, 3))
+        kind = int(rng.integers(0, 4))
+        A = rng.normal(size=(5, k))
+        if kind == 1 and k == 2:
+            A[:, 1] = A[:, 0]  # rank deficient
+        if kind == 2:
+            A = np.eye(k) * rng.uniform(0.5, 2.0)  # isotropic
+        if kind == 3:
+            A = np.zeros((5, k))
+        G = jnp.asarray(A.T @ A)
+        b = jnp.asarray(rng.normal(size=k))
+        got = np.asarray(_psolve(G, b))
+        want = np.asarray(eigh_psolve(G, b))
+        worst = max(
+            worst, np.max(np.abs(got - want)) / max(1.0, np.max(np.abs(want)))
+        )
+    assert worst < 1e-9
