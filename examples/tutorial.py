@@ -123,6 +123,26 @@ def main():
     fig.savefig(path, dpi=110, bbox_inches="tight")
     print(f"saved bias maps -> {path}")
 
+    # ------------------------------------------------------------------
+    # 5. z-score wind correction + the reference's two diagnostic figures
+    #    (mirror of the zscore tutorial, ref examples/utils.py:106-169)
+    # ------------------------------------------------------------------
+    from utils import zscore_correction_plot, zscore_ds_plot
+
+    hist = get_sample_data("wind-hist")
+    wobs = get_sample_data("wind-obs")
+    rcp = get_sample_data("wind-rcp")
+    z = sdt.ZScoreRegressor()
+    z.fit(hist, wobs)
+    zout = z.predict(rcp)
+    f1 = zscore_ds_plot(hist, wobs, rcp, zout)
+    p1 = os.path.join(OUT_DIR, "tutorial_zscore_series.png")
+    f1.savefig(p1, dpi=110, bbox_inches="tight")
+    f2 = zscore_correction_plot(z)
+    p2 = os.path.join(OUT_DIR, "tutorial_zscore_gaussians.png")
+    f2.savefig(p2, dpi=110, bbox_inches="tight")
+    print(f"saved z-score diagnostics -> {p1}, {p2}")
+
 
 if __name__ == "__main__":
     main()

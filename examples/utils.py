@@ -88,3 +88,83 @@ def prob_plots(x, y, y_hat, shape=(2, 2), figsize=(8, 8)):
         ax.legend()
         ax.set_title(name)
     return fig
+
+
+def zscore_ds_plot(training, target, future, corrected, var="uas"):
+    """Time-series overlay of the four z-score example series (mirror of
+    ``/root/reference/examples/utils.py:106-134``; takes pandas objects and
+    uses each one's own index instead of the reference's hard-coded
+    1980s/1990s ranges, and a matplotlib palette instead of seaborn)."""
+    import matplotlib.pyplot as plt
+
+    labels = ["training", "future", "target", "corrected"]
+    cmap = plt.get_cmap("Set2")
+    colors = {k: cmap(i) for i, k in enumerate(labels)}
+    alpha = 0.5
+
+    def _series(obj):
+        if hasattr(obj, "columns") and var in getattr(obj, "columns", ()):
+            return obj[var]
+        return obj.squeeze()
+
+    plt.figure(figsize=(8, 4))
+    for name, obj in (
+        ("training", training),
+        ("target", target),
+        ("future", future),
+        ("corrected", corrected),
+    ):
+        s = _series(obj)
+        plt.plot(s.index, np.asarray(s), label=name, alpha=alpha, c=colors[name])
+    plt.xlabel("Time")
+    plt.ylabel("Eastward Near-Surface Wind (m s-1)")
+    plt.legend()
+    return plt.gcf()
+
+
+def _gaus(mean, std, doy):
+    """``/root/reference/examples/utils.py:172-177``."""
+    import scipy.stats
+
+    mu = mean[doy]
+    sigma = std[doy]
+    x = np.linspace(mu - 3 * sigma, mu + 3 * sigma, 100)
+    y = scipy.stats.norm.pdf(x, mu, sigma)
+    return x, y
+
+
+def zscore_correction_plot(zscore, doy: int = 20):
+    """Per-DOY gaussian overlay from a fitted+predicted ``ZScoreRegressor``
+    (mirror of ``/root/reference/examples/utils.py:137-169``): training vs
+    target fit stats and the future vs corrected rolling stats, all reduced
+    to day-of-year ``doy``."""
+    import matplotlib.pyplot as plt
+
+    training_mean = zscore.fit_stats_dict_["X_mean"]
+    training_std = zscore.fit_stats_dict_["X_std"]
+    target_mean = zscore.fit_stats_dict_["y_mean"]
+    target_std = zscore.fit_stats_dict_["y_std"]
+
+    def _doy_mean(s):
+        return s.groupby(s.index.dayofyear).mean()
+
+    future_mean = _doy_mean(zscore.predict_stats_dict_["meani"])
+    future_std = _doy_mean(zscore.predict_stats_dict_["stdi"])
+    corrected_mean = _doy_mean(zscore.predict_stats_dict_["meanf"])
+    corrected_std = _doy_mean(zscore.predict_stats_dict_["stdf"])
+
+    labels = ["training", "future", "target", "corrected"]
+    cmap = plt.get_cmap("Set2")
+    colors = {k: cmap(i) for i, k in enumerate(labels)}
+
+    plt.figure()
+    for name, (m, s) in (
+        ("training", (training_mean, training_std)),
+        ("target", (target_mean, target_std)),
+        ("future", (future_mean, future_std)),
+        ("corrected", (corrected_mean, corrected_std)),
+    ):
+        x, y = _gaus(m, s, doy)
+        plt.plot(x, y, c=colors[name], label=name)
+    plt.legend()
+    return plt.gcf()

@@ -161,11 +161,17 @@ class ZScoreRegressor(SingleCellEstimator):
         self._state = jax.tree_util.tree_map(np.asarray, state)
         self.shift_ = np.asarray(state.shift)
         self.scale_ = np.asarray(state.scale)
+        # day-of-year-indexed pandas Series, as the reference stores them
+        # (``zscore.py:58-63``; its groupby('index.dayofyear') yields a
+        # 1-based DOY index)
+        import pandas as pd
+
+        doy_index = pd.RangeIndex(1, len(np.asarray(state.shift)) + 1, name="dayofyear")
         self.fit_stats_dict_ = {
-            "X_mean": np.asarray(state.x_mean),
-            "X_std": np.asarray(state.x_std),
-            "y_mean": np.asarray(state.y_mean),
-            "y_std": np.asarray(state.y_std),
+            "X_mean": pd.Series(np.asarray(state.x_mean), index=doy_index),
+            "X_std": pd.Series(np.asarray(state.x_std), index=doy_index),
+            "y_mean": pd.Series(np.asarray(state.y_mean), index=doy_index),
+            "y_std": pd.Series(np.asarray(state.y_std), index=doy_index),
         }
         return self
 
@@ -180,7 +186,7 @@ class ZScoreRegressor(SingleCellEstimator):
         corrected, meani, stdi, meanf, stdf = zscore_predict(
             state, jnp.asarray(Xa[:, 0]), jnp.asarray(inds), window=self.window_width
         )
-        self.predict_stats_dict_ = {
+        stats = {
             "meani": np.asarray(meani),
             "stdi": np.asarray(stdi),
             "meanf": np.asarray(meanf),
@@ -190,6 +196,12 @@ class ZScoreRegressor(SingleCellEstimator):
         if hasattr(X, "iloc"):
             import pandas as pd
 
+            # time-indexed Series, as the reference stores them
+            # (``zscore.py:103-108``)
+            self.predict_stats_dict_ = {
+                k: pd.Series(v, index=X.index) for k, v in stats.items()
+            }
             name = list(X.keys())[0] if hasattr(X, "keys") else 0
             return pd.DataFrame({name: out}, index=X.index)
+        self.predict_stats_dict_ = stats
         return out.reshape(-1, 1)
