@@ -276,6 +276,74 @@ def bench_reference(n_cells=8, n_time=480):
     return n_cells / dt
 
 
+def bench_zscore(n_cells=65536, n_years=20, n_iters=3, window=31):
+    """Day-of-year z-score bias correction over a grid (ZScoreRegressor):
+    fit = (year, doy) gather + pooled 31-day windowed masked stats; predict =
+    centered rolling mean/std + affine correction.  All convolutions and
+    gathers — bandwidth-bound, no sorts.  The reference's ZScoreRegressor
+    requires xarray (ref ``zscore.py:162-193``), absent from this image, so
+    the baseline is this package's own single-cell estimator looped per cell
+    (measured on a subset; the reference's per-cell xarray path is strictly
+    slower than that)."""
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.zscore import (
+        build_year_doy_table,
+        expand_indices,
+        zscore_fit,
+        zscore_predict,
+    )
+
+    rng = np.random.default_rng(0)
+    index = pd.date_range("1990-01-01", periods=n_years * 365 + 5, freq="D")
+    n_time = len(index)
+    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25)
+    x = (283.0 + seas[None, :] + rng.normal(0, 2, (n_cells, n_time)) + 1.5).astype(np.float32)
+    y = (282.0 + seas[None, :] + rng.normal(0, 1.8, (n_cells, n_time))).astype(np.float32)
+
+    idx, mask = build_year_doy_table(index)
+    inds = expand_indices(n_time)
+    idxd, maskd, indsd = jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(inds)
+    fitj = jax.jit(
+        jax.vmap(lambda a, b: zscore_fit(a, b, idxd, maskd, window=window))
+    )
+    predj = jax.jit(
+        jax.vmap(lambda s, xx: zscore_predict(s, xx, indsd, window=window)[0])
+    )
+    xd, yd = jax.device_put(x), jax.device_put(y)
+
+    def run():
+        state = fitj(xd, yd)
+        out = predj(state, xd)
+        return float(jnp.nansum(out))
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    state = fitj(xd, yd)
+    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile()) + _bytes_accessed(
+        predj.lower(state, xd).compile()
+    )
+
+    # per-cell loop baseline (8 cells, linear cost)
+    from skdownscale_tpu.models.zscore import ZScoreRegressor
+
+    t0 = time.perf_counter()
+    for c in range(8):
+        xdf = pd.DataFrame({"v": x[c]}, index=index)
+        ydf = pd.DataFrame({"v": y[c]}, index=index)
+        m = ZScoreRegressor(window_width=window).fit(xdf, ydf)
+        m.predict(xdf)
+    ref_cps = 8 / (time.perf_counter() - t0)
+    return n_cells / dt, dt, nbytes, ref_cps
+
+
 def bench_qdm(n_cells=16384, n_fit=3650, n_predict=None, n_iters=2):
     """Secondary benchmark: daily-scale QDM fit+predict.
 
@@ -492,6 +560,24 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (ARRM breakpoint scan + hinge lstsq, T=1000)",
                     "vs_baseline": round(cps / ref_cps, 1),  # per-cell loop rate
+                }
+            )
+        )
+        return
+    if model == "zscore":
+        n = n_cells if len(sys.argv) > 1 else 65536
+        cps, dt, nbytes, ref_cps = bench_zscore(n_cells=n)
+        bw = _device_peak_bw()
+        hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
+        print(
+            json.dumps(
+                {
+                    "metric": "zscore_fit_predict_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (20y daily DOY z-score fit+predict)",
+                    "vs_baseline": round(cps / ref_cps, 1),  # per-cell loop rate
+                    "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                    "hbm_util": None if hbm_util is None else round(hbm_util, 3),
                 }
             )
         )
