@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Build and EXECUTE ``examples/tutorial.ipynb``.
+
+The reference ships its tutorials as runnable notebooks
+(``/root/reference/examples/2020ECAHM-scikit-downscale.ipynb``,
+``/root/reference/docs/tutorials/*.ipynb``).  ``tutorial.py`` is the script
+form of that walkthrough; this builder renders the same narrative as a real
+executed notebook — markdown narration, code cells, and embedded figure
+outputs — via nbformat + nbclient (no network, CPU platform forced in the
+first cell so it runs on any image).
+
+Run: python examples/make_tutorial_notebook.py
+"""
+
+import os
+
+import nbformat as nbf
+from nbclient import NotebookClient
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+CELLS = [
+    (
+        "md",
+        """# Downscaling with scikit-downscale-tpu
+
+An end-to-end walkthrough of the framework, mirroring the reference
+library's talk notebook (`2020ECAHM-scikit-downscale.ipynb`) and
+`docs/tutorials`:
+
+1. load daily GCM-like training data and observations;
+2. fit a panel of downscaling models on the single-cell scikit-learn API;
+3. compare them with skill metrics and Q-Q probability plots;
+4. scale the winning model over a `(time, y, x)` grid with
+   `PointWiseDownscaler` — every valid cell batched into **one XLA
+   program** (the reference loops a Python estimator per cell);
+5. correct wind speeds with `ZScoreRegressor` and reproduce the
+   reference's z-score diagnostic figures.
+
+The data here are synthetic stand-ins with the same shape/statistics as the
+reference's zarr samples (this environment has no object-store egress; see
+`examples/utils.py`).  Everything below runs identically on CPU and TPU —
+the first cell pins CPU so the notebook executes anywhere.""",
+    ),
+    (
+        "code",
+        """import sys, os
+sys.path.insert(0, os.path.abspath(".."))  # repo root
+sys.path.insert(0, os.path.abspath("."))   # examples/ helpers
+
+import jax
+jax.config.update("jax_platforms", "cpu")  # runs anywhere; on TPU, drop this
+
+%matplotlib inline
+import numpy as np
+import pandas as pd
+
+import skdownscale_tpu as sdt
+from skdownscale_tpu.utils import metrics
+from utils import get_sample_data, get_sample_grid, prob_plots""",
+    ),
+    (
+        "md",
+        """## 1. Data
+
+Thirty years of daily maximum temperature: a biased, drifting GCM series
+(`training`) and observations (`targets`) at the same location.  We fit on
+1980–1999 and evaluate on the held-out 2000–2009 decade.""",
+    ),
+    (
+        "code",
+        """training = get_sample_data("training")
+targets = get_sample_data("targets")
+split = "2000-01-01"
+X_hist, X_fut = training[:split], training[split:]
+y_hist, y_fut = targets[:split], targets[split:]
+print(f"training {X_hist.shape}, evaluation {X_fut.shape}")
+print(f"raw GCM bias over the evaluation decade: "
+      f"{float(X_fut['tmax'].mean() - y_fut['tmax'].mean()):+.2f} K")
+X_hist.tail()""",
+    ),
+    (
+        "md",
+        """## 2. A panel of downscaling models
+
+Each estimator keeps the reference's scikit-learn style single-cell API —
+`fit(X, y)` / `predict(X)` on pandas with a `DatetimeIndex` — while the
+numerics run as batched JAX kernels underneath.""",
+    ),
+    (
+        "code",
+        """models = {
+    "BCSD: BcsdTemperature": sdt.BcsdTemperature(return_anoms=False),
+    "QDM: EquidistantCdfMatcher": sdt.EquidistantCdfMatcher(
+        kind="difference", extrapolate="both"
+    ),
+    "QM: QuantileMappingReressor": sdt.QuantileMappingReressor(extrapolate="both"),
+    "ZScore: ZScoreRegressor": sdt.ZScoreRegressor(window_width=31),
+}
+
+preds, rows = {}, []
+obs = y_fut["tmax"].to_numpy()
+for name, model in models.items():
+    model.fit(X_hist, y_hist["tmax"])
+    yh = np.asarray(model.predict(X_fut)).reshape(-1)
+    preds[name] = yh
+    ok = np.isfinite(yh) & np.isfinite(obs)
+    rows.append({
+        "model": name,
+        "bias (K)": float(yh[ok].mean() - obs[ok].mean()),
+        "rmse (K)": float(metrics.rmse(obs[ok], yh[ok])),
+        "r2": float(metrics.r2(obs[ok], yh[ok])),
+    })
+pd.DataFrame(rows).set_index("model").round(3)""",
+    ),
+    (
+        "md",
+        """All four models remove the ~2 K bias; the quantile methods also match
+the observed distribution's shape, which the Q-Q plots below make visible.
+
+## 3. Q-Q probability plots
+
+The reference's `prob_plots` diagnostic (ref `examples/utils.py:80-119`):
+observed vs modeled quantiles against Cunnane plotting positions — a
+perfect correction hugs the 1:1 line.""",
+    ),
+    (
+        "code",
+        """fig = prob_plots(
+    X_fut["tmax"].to_numpy(),
+    y_fut["tmax"].to_numpy(),
+    {k: np.nan_to_num(v, nan=np.nanmean(v)) for k, v in preds.items()},
+    shape=(2, 2),
+)""",
+    ),
+    (
+        "md",
+        """## 4. The same correction over a grid
+
+`PointWiseDownscaler` maps any estimator over every cell of a
+`(time, y, x)` grid.  The reference does this with a Python loop (or dask
+`map_blocks`) over per-cell estimator objects; here all valid cells are
+packed into one batched XLA program, NaN (ocean) cells are masked out, and
+the fitted state is a pytree of `(cells, ...)` arrays — shardable over a
+TPU mesh (see `sharded_grid.py`).""",
+    ),
+    (
+        "code",
+        """gcm, obs_grid = get_sample_grid(ny=12, nx=12, years=10)
+d = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+d.fit(gcm, obs_grid)
+out = d.predict(gcm)
+
+v = np.asarray(out.values)
+raw_bias = np.asarray(gcm.values).mean(axis=0) - np.asarray(obs_grid.values).mean(axis=0)
+cor_bias = v.mean(axis=0) - np.asarray(obs_grid.values).mean(axis=0)
+print(f"grid: raw |bias| {np.nanmean(np.abs(raw_bias)):.2f} K -> "
+      f"corrected {np.nanmean(np.abs(cor_bias)):.2f} K; "
+      f"ocean NaN preserved: {bool(np.isnan(v[:, :, :2]).all())}")
+
+import matplotlib.pyplot as plt
+fig, axes = plt.subplots(1, 2, figsize=(9, 4), sharey=True)
+for ax, (title, field) in zip(
+    axes, [("raw GCM bias (K)", raw_bias), ("after BCSD (K)", cor_bias)]
+):
+    im = ax.imshow(field, cmap="RdBu_r", vmin=-2, vmax=2, origin="lower")
+    ax.set_title(title)
+fig.colorbar(im, ax=axes, shrink=0.8);""",
+    ),
+    (
+        "md",
+        """## 5. Z-score wind correction
+
+The z-score tutorial from the reference (`docs/tutorials`), with its two
+diagnostic figures (ref `examples/utils.py:106-169`): the corrected RCP
+series, and the fitted day-of-year Gaussian parameters.""",
+    ),
+    (
+        "code",
+        """from utils import zscore_correction_plot, zscore_ds_plot
+
+hist = get_sample_data("wind-hist")
+wobs = get_sample_data("wind-obs")
+rcp = get_sample_data("wind-rcp")
+z = sdt.ZScoreRegressor()
+z.fit(hist, wobs)
+zout = z.predict(rcp)
+f1 = zscore_ds_plot(hist, wobs, rcp, zout)
+f2 = zscore_correction_plot(z)""",
+    ),
+    (
+        "md",
+        """## 6. Scaling up
+
+Everything above was single-cell or a small grid on CPU.  The production
+path is the same API at continental scale on TPU:
+
+- `examples/continental_bcsd.py` — 1M-cell BCSD fit+predict in **one
+  device pass** (~0.7 s on one v5e chip) via the streaming formulation,
+  with an optional `--zarr` input mode;
+- `examples/sharded_grid.py` — the identical program sharded over a
+  multi-chip `jax.sharding.Mesh` (cell-axis data parallelism; fitted state
+  co-sharded with the cells, never broadcast);
+- `examples/global_models_example.py` — pooled-across-space models whose
+  sufficient statistics all-reduce over the mesh (the reference roadmap's
+  never-built `global_models` component).
+
+Measured throughput and roofline accounting live in `BASELINE.md`; the
+how-to notes in `docs/howto.md` cover streaming, sharding, checkpointing,
+and the compile-cache workflow.""",
+    ),
+]
+
+
+def build(execute: bool = True) -> str:
+    nb = nbf.v4.new_notebook()
+    nb.metadata["kernelspec"] = {
+        "name": "python3",
+        "display_name": "Python 3",
+        "language": "python",
+    }
+    nb.cells = [
+        nbf.v4.new_markdown_cell(src) if kind == "md" else nbf.v4.new_code_cell(src)
+        for kind, src in CELLS
+    ]
+    if execute:
+        client = NotebookClient(
+            nb,
+            timeout=900,
+            kernel_name="python3",
+            resources={"metadata": {"path": HERE}},
+        )
+        client.execute()
+    path = os.path.join(HERE, "tutorial.ipynb")
+    with open(path, "w") as f:
+        nbf.write(nb, f)
+    return path
+
+
+if __name__ == "__main__":
+    print("wrote", build())
