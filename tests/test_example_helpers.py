@@ -43,6 +43,26 @@ def test_prob_plots_smoke(rng):
     assert fig is not None
 
 
+def test_tutorial_notebook_builder():
+    """The notebook builder must emit a valid nbformat document whose code
+    cells compile (execution is exercised by the shipped tutorial.ipynb)."""
+    nbf = pytest.importorskip("nbformat")
+    import make_tutorial_notebook as mtn
+
+    nb = nbf.v4.new_notebook()
+    nb.cells = [
+        nbf.v4.new_markdown_cell(src) if kind == "md" else nbf.v4.new_code_cell(src)
+        for kind, src in mtn.CELLS
+    ]
+    nbf.validate(nb)
+    for c in nb.cells:
+        if c.cell_type == "code":
+            src = "\n".join(
+                line for line in c.source.splitlines() if not line.startswith("%")
+            )
+            compile(src, "<cell>", "exec")
+
+
 def test_zscore_plots_smoke(rng):
     mpl = pytest.importorskip("matplotlib")
     mpl.use("Agg")
