@@ -10,9 +10,23 @@ cells / rolling edges).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["rmse", "mae", "bias", "pearsonr", "r2", "score_all"]
+__all__ = [
+    "rmse",
+    "mae",
+    "bias",
+    "pearsonr",
+    "r2",
+    "score_all",
+    "ks_stat",
+    "quantile_bias",
+    "wet_day_freq_bias",
+    "annual_cycle_rmse",
+    "trend_bias",
+]
 
 
 def _valid(y_true, y_pred):
@@ -62,6 +76,108 @@ def r2(y_true, y_pred):
     ss_res = jnp.sum(jnp.where(v, (y_true - y_pred) ** 2, 0.0), axis=-1)
     ss_tot = jnp.sum(jnp.where(v, (y_true - tm) ** 2, 0.0), axis=-1)
     return 1.0 - ss_res / jnp.where(ss_tot > 0, ss_tot, 1.0)
+
+
+def ks_stat(y_true, y_pred):
+    """Two-sample Kolmogorov-Smirnov statistic per cell (batched).
+
+    ``sup |F_true - F_pred|`` between the two empirical CDFs along the last
+    axis — THE standard distribution-shape check for bias correction (moment
+    metrics cannot see the distribution mismatch quantile mapping exists to
+    fix).  One payload sort of the merged samples; the CDF gap is evaluated
+    at tie-run ends (``scipy.stats.ks_2samp`` semantics).  NaNs are skipped;
+    all-NaN rows return NaN.
+    """
+    v1 = jnp.isfinite(y_true)
+    v2 = jnp.isfinite(y_pred)
+    n1 = jnp.sum(v1, axis=-1)
+    n2 = jnp.sum(v2, axis=-1)
+    inf = jnp.asarray(jnp.inf, y_true.dtype)
+    a = jnp.where(v1, y_true, inf)
+    b = jnp.where(v2, y_pred, inf)
+    vals = jnp.concatenate([a, b], axis=-1)
+    one = jnp.ones((), vals.dtype)
+    w1 = jnp.concatenate([v1.astype(vals.dtype), jnp.zeros_like(b)], axis=-1)
+    w2 = jnp.concatenate([jnp.zeros_like(a), v2.astype(vals.dtype)], axis=-1)
+    sv, s1, s2 = jax.lax.sort([vals, w1, w2], num_keys=1)
+    c1 = jnp.cumsum(s1, axis=-1) / jnp.maximum(n1, 1)[..., None]
+    c2 = jnp.cumsum(s2, axis=-1) / jnp.maximum(n2, 1)[..., None]
+    gap = jnp.abs(c1 - c2)
+    # evaluate only at tie-run ends over FINITE values (inf pads excluded)
+    run_end = jnp.concatenate(
+        [sv[..., :-1] != sv[..., 1:], jnp.ones((*sv.shape[:-1], 1), bool)], axis=-1
+    )
+    d = jnp.max(jnp.where(run_end & jnp.isfinite(sv), gap, 0.0), axis=-1)
+    return jnp.where((n1 > 0) & (n2 > 0), d, jnp.nan)
+
+
+def quantile_bias(y_true, y_pred, q):
+    """``quantile(y_pred, q) - quantile(y_true, q)`` per cell, NaN-skipping.
+
+    ``q`` may be a scalar or a 1-D array of probabilities (prepended as a
+    leading axis, numpy ``nanquantile`` convention).  Tail-quantile bias
+    (e.g. q=0.95/0.99) is the standard extreme-preservation check.
+    """
+    qt = jnp.nanquantile(y_true, q, axis=-1)
+    qp = jnp.nanquantile(y_pred, q, axis=-1)
+    return qp - qt
+
+
+def wet_day_freq_bias(y_true, y_pred, thresh=0.1):
+    """Difference in exceedance frequency P(x > thresh) (pred - true).
+
+    For precipitation with the trace threshold (0.1 mm/day by convention)
+    this is the wet-day-frequency bias — the drizzle-problem check.
+    """
+    v, n, _ = _valid(y_true, y_pred)
+    ft = jnp.sum(jnp.where(v, (y_true > thresh).astype(y_true.dtype), 0.0), axis=-1) / n
+    fp = jnp.sum(jnp.where(v, (y_pred > thresh).astype(y_pred.dtype), 0.0), axis=-1) / n
+    return fp - ft
+
+
+def annual_cycle_rmse(y_true, y_pred, group_labels, n_groups: int = 12):
+    """RMSE between per-group climatologies (e.g. monthly means).
+
+    ``group_labels``: (T,) host int array in ``[0, n_groups)`` (month or DOY
+    labels).  Group means are one mean-pooling matmul per series (NaN-aware);
+    the result is the seasonal-cycle preservation error per cell.
+    """
+    labels = np.asarray(group_labels)
+    M = jnp.asarray(
+        (labels[:, None] == np.arange(n_groups)[None, :]).astype(np.float32)
+    )
+    v1 = jnp.isfinite(y_true)
+    v2 = jnp.isfinite(y_pred)
+
+    def gmean(x, v):
+        xs = jnp.matmul(jnp.where(v, x, 0.0), M.astype(x.dtype))
+        c = jnp.matmul(v.astype(x.dtype), M.astype(x.dtype))
+        return xs / jnp.maximum(c, 1.0), c
+
+    mt, ct = gmean(y_true, v1)
+    mp, cp = gmean(y_pred, v2)
+    ok = (ct > 0) & (cp > 0)
+    ng = jnp.maximum(jnp.sum(ok, axis=-1), 1)
+    se = jnp.where(ok, (mp - mt) ** 2, 0.0)
+    return jnp.sqrt(jnp.sum(se, axis=-1) / ng)
+
+
+def trend_bias(y_true, y_pred):
+    """Difference of the linear-trend slopes (pred - true), per cell.
+
+    Masked OLS against ``arange(T)`` (``LinearTrendTransformer``'s model);
+    units are y-units per time step.  Checks that the correction preserves
+    the long-term climate-change signal.
+    """
+    from ..ops.regression import ols_1d
+
+    T = y_true.shape[-1]
+    t = jnp.arange(T, dtype=y_true.dtype)
+    v1 = jnp.isfinite(y_true)
+    v2 = jnp.isfinite(y_pred)
+    s_t, _ = ols_1d(t, jnp.where(v1, y_true, 0.0), v1.astype(y_true.dtype))
+    s_p, _ = ols_1d(t, jnp.where(v2, y_pred, 0.0), v2.astype(y_pred.dtype))
+    return s_p - s_t
 
 
 def score_all(y_true, y_pred) -> dict:

@@ -32,6 +32,72 @@ class TestMetrics:
         assert out["rmse"].shape == (5,)
         npt.assert_allclose(np.asarray(out["bias"]), 1.0, rtol=1e-9)
 
+    def test_ks_stat_matches_scipy(self, rng):
+        from scipy.stats import ks_2samp
+
+        for trial in range(6):
+            t = rng.normal(0, 1, 180)
+            p = rng.normal(0.2, 1.3, 160 if trial % 2 else 180)
+            if trial >= 2:  # heavy ties, the run-end evaluation case
+                t = np.round(t * 2) / 2
+                p = np.round(p * 2) / 2
+            if trial >= 4:
+                t[:13] = np.nan
+            # pad to equal lengths with NaN (the batched API is rectangular)
+            L = max(len(t), len(p))
+            tt = np.full(L, np.nan)
+            pp_ = np.full(L, np.nan)
+            tt[: len(t)] = t
+            pp_[: len(p)] = p
+            want = ks_2samp(t[np.isfinite(t)], p[np.isfinite(p)]).statistic
+            got = float(metrics.ks_stat(jnp.asarray(tt), jnp.asarray(pp_)))
+            npt.assert_allclose(got, want, rtol=1e-6)
+
+    def test_ks_identical_and_disjoint(self):
+        x = jnp.asarray(np.linspace(0.0, 1.0, 50))
+        npt.assert_allclose(float(metrics.ks_stat(x, x)), 0.0)
+        npt.assert_allclose(float(metrics.ks_stat(x, x + 10.0)), 1.0)
+        assert np.isnan(float(metrics.ks_stat(jnp.full(4, np.nan), x[:4])))
+
+    def test_quantile_bias(self, rng):
+        t = rng.normal(0, 1, (3, 300))
+        p = t + 0.7
+        t[0, :30] = np.nan
+        got = np.asarray(metrics.quantile_bias(t, p, 0.95))
+        want = np.nanquantile(p, 0.95, axis=-1) - np.nanquantile(t, 0.95, axis=-1)
+        npt.assert_allclose(got, want, rtol=1e-6)
+        multi = np.asarray(metrics.quantile_bias(t, p, jnp.asarray([0.5, 0.99])))
+        assert multi.shape == (2, 3)
+
+    def test_wet_day_freq_bias(self, rng):
+        t = rng.gamma(0.5, 2.0, (2, 400))
+        p = np.where(t > 0.4, t, 0.0)  # dried-out version
+        got = np.asarray(metrics.wet_day_freq_bias(t, p, thresh=0.1))
+        want = (p > 0.1).mean(axis=-1) - (t > 0.1).mean(axis=-1)
+        npt.assert_allclose(got, want, rtol=1e-6)
+
+    def test_annual_cycle_rmse(self, rng):
+        idx = pd.date_range("2000-01-01", periods=4 * 365, freq="D")
+        labels = idx.month.to_numpy() - 1
+        seas = 10 * np.sin(2 * np.pi * labels / 12)
+        t = seas[None, :] + rng.normal(0, 0.5, (2, len(idx)))
+        p = t + 2.0  # constant offset shifts every monthly mean by 2
+        got = np.asarray(metrics.annual_cycle_rmse(t, p, labels))
+        npt.assert_allclose(got, 2.0, rtol=1e-5)
+        npt.assert_allclose(
+            np.asarray(metrics.annual_cycle_rmse(t, t, labels)), 0.0, atol=1e-7
+        )
+
+    def test_trend_bias(self, rng):
+        T = 500
+        tt = np.arange(T)
+        t = 0.01 * tt + rng.normal(0, 0.1, (3, T))
+        p = 0.013 * tt + rng.normal(0, 0.1, (3, T))
+        got = np.asarray(metrics.trend_bias(t, p))
+        slopes_t = np.polyfit(tt, t.T, 1)[0]
+        slopes_p = np.polyfit(tt, p.T, 1)[0]
+        npt.assert_allclose(got, slopes_p - slopes_t, rtol=1e-4)
+
 
 class TestCheckpoint:
     def test_roundtrip_grid(self, rng, tmp_path):
