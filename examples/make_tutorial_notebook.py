@@ -110,7 +110,18 @@ for name, model in models.items():
         "bias (K)": float(yh[ok].mean() - obs[ok].mean()),
         "rmse (K)": float(metrics.rmse(obs[ok], yh[ok])),
         "r2": float(metrics.r2(obs[ok], yh[ok])),
+        # distribution-shape checks: two-sample KS and 95th-percentile bias
+        "KS": float(metrics.ks_stat(obs[ok], yh[ok])),
+        "q95 bias (K)": float(metrics.quantile_bias(obs[ok], yh[ok], 0.95)),
     })
+rows.insert(0, {
+    "model": "(raw GCM)",
+    "bias (K)": float(X_fut["tmax"].mean() - obs.mean()),
+    "rmse (K)": float(metrics.rmse(obs, X_fut["tmax"].to_numpy())),
+    "r2": float(metrics.r2(obs, X_fut["tmax"].to_numpy())),
+    "KS": float(metrics.ks_stat(obs, X_fut["tmax"].to_numpy())),
+    "q95 bias (K)": float(metrics.quantile_bias(obs, X_fut["tmax"].to_numpy(), 0.95)),
+})
 pd.DataFrame(rows).set_index("model").round(3)""",
     ),
     (
