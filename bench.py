@@ -241,6 +241,7 @@ def bench_arrm(n_cells=16384, n_time=1000, n_iters=2, fit_option="arrm"):
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    nbytes = _bytes_accessed(fn.lower(xd, yd).compile())
 
     # per-cell loop baseline (8 cells, linear cost)
     from skdownscale_tpu.models.arrm import PiecewiseLinearRegression
@@ -251,7 +252,7 @@ def bench_arrm(n_cells=16384, n_time=1000, n_iters=2, fit_option="arrm"):
         m.fit(x[c].reshape(-1, 1), y[c])
         m.predict(x[c].reshape(-1, 1))
     ref_cps = 8 / (time.perf_counter() - t0)
-    return n_cells / dt, dt, ref_cps
+    return n_cells / dt, dt, ref_cps, nbytes
 
 
 def bench_reference(n_cells=8, n_time=480):
@@ -552,7 +553,11 @@ def main():
         )
         return
     if model == "arrm":
-        cps, dt, ref_cps = bench_arrm(n_cells=n_cells if len(sys.argv) > 1 else 16384)
+        cps, dt, ref_cps, nbytes = bench_arrm(
+            n_cells=n_cells if len(sys.argv) > 1 else 16384
+        )
+        bw = _device_peak_bw()
+        hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
         print(
             json.dumps(
                 {
@@ -560,6 +565,8 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (ARRM breakpoint scan + hinge lstsq, T=1000)",
                     "vs_baseline": round(cps / ref_cps, 1),  # per-cell loop rate
+                    "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                    "hbm_util": None if hbm_util is None else round(hbm_util, 3),
                 }
             )
         )
