@@ -45,6 +45,39 @@ def main():
     out = d.predict(X)
     print(f"corrected mean {np.nanmean(out.values):.2f} (obs {obs.mean():.2f}, raw {gcm.mean():.2f})")
 
+    # ------------------------------------------------------------------
+    # time-axis (sequence) sharding: for records too long for one device,
+    # a 2-D (cells, time) mesh bounds per-device input AND the
+    # time-length-sized fitted state; SPMD all-gathers a cell row's time
+    # shards over ICI only where full-row sorts need the whole series
+    # ------------------------------------------------------------------
+    if mesh.devices.size % 2 == 0:
+        import jax.numpy as jnp
+
+        from skdownscale_tpu.models.quantile import edcdfm_predict, qmr_fit
+        from skdownscale_tpu.parallel import time_cell_mesh, time_sharding
+
+        tmesh = time_cell_mesh(jax.devices(), time_shards=2)
+        sh = time_sharding(tmesh)
+        C = 2 * tmesh.devices.shape[0]
+        xf = jnp.asarray(284 + rng.normal(0, 2, (C, T)))
+        yf = jnp.asarray(283 + rng.normal(0, 1.8, (C, T)))
+
+        def qdm(a, b):
+            return edcdfm_predict(
+                qmr_fit(a, b, extrapolate="both"), a,
+                kind="difference", extrapolate="both",
+            )
+
+        got = jax.jit(qdm, in_shardings=(sh, sh), out_shardings=sh)(
+            jax.device_put(xf, sh), jax.device_put(yf, sh)
+        )
+        same = np.array_equal(np.asarray(got), np.asarray(jax.jit(qdm)(xf, yf)))
+        print(
+            f"time-sharded QDM on a {tmesh.devices.shape[0]}x2 (cells, time) "
+            f"mesh: bitwise == single-device: {same}"
+        )
+
 
 if __name__ == "__main__":
     main()
