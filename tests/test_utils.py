@@ -177,6 +177,25 @@ class TestSharding:
         assert np.isnan(np.asarray(sharded)[13:]).all()
 
 
+class TestProfiling:
+    def test_stage_timer_and_report(self):
+        from skdownscale_tpu.utils.profiling import StageTimer, annotate
+
+        st = StageTimer()
+        x = jnp.arange(16.0)
+        with st.stage("square", sync=None):
+            y = x * x
+        with st.stage("square", sync=y):  # device-sync barrier form
+            y = x * x
+        with st.stage("sum"):
+            float(jnp.sum(y))
+        assert st.counts["square"] == 2 and st.counts["sum"] == 1
+        rep = st.report()
+        assert "square" in rep and "mean_ms" in rep
+        with annotate("noop"):  # TraceAnnotation works outside a trace
+            pass
+
+
 class TestNative:
     def test_pack_unpack_roundtrip(self, rng):
         T, F, C = 37, 2, 101
