@@ -507,7 +507,7 @@ def main():
         cps, dt = bench_gard(n_cells=n)
         # AR adds the in-VMEM damped-Newton logistic: ~n_iter x (2 stacked-row
         # (f+2, n)x(n, mq) matmuls) per query block
-        extra = n * 12 * 2 * 4 * 3712.0 * 512
+        extra = n * 8 * 2 * 4 * 3712.0 * 512
         print(
             json.dumps(
                 {
@@ -515,7 +515,7 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (365 local logistic+linear fits per cell, k=200)",
                     "vs_baseline": round(cps / 0.55, 1),  # measured reference rate
-                    **_gard_bounds(n, 3650, 365, 2, dt, extra_mxu_macs=extra, newton_iters=12),
+                    **_gard_bounds(n, 3650, 365, 2, dt, extra_mxu_macs=extra, newton_iters=8),
                 }
             )
         )

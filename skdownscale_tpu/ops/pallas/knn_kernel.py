@@ -495,7 +495,7 @@ def _stat_slab_rows(f: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "thresh", "n_iter", "mq", "interpret"))
 def analog_regression_stats(
-    X_train, y_train, Xq, *, k: int, thresh=None, n_iter: int = 12, mq: int = 128, interpret: bool = False
+    X_train, y_train, Xq, *, k: int, thresh=None, n_iter: int = 8, mq: int = 128, interpret: bool = False
 ):
     """Fused AnalogRegression front half: selection + weighted-OLS sufficient
     statistics + logistic exceedance probability, all in VMEM.

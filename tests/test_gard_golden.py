@@ -98,3 +98,37 @@ def test_pure_regression_one_class_fallback(rng):
     assert m.thresh == 1.0  # constructor param not mutated (unlike gard.py:436)
     out = m.predict(X)
     npt.assert_allclose(out[:, 1], 1.0)
+
+
+def test_ar_kernel_logistic_converged_at_default_iters(rng):
+    """The fused kernel's ridge-damped Newton must be converged at the
+    default iteration count: probs at n_iter=8 within 1e-5 of n_iter=24 on
+    correlated, near-separable, and extreme-imbalance analog sets (the
+    hardest logistic geometries).  Pins the 12 -> 8 default cut."""
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.ops.pallas.knn_kernel import analog_regression_stats
+
+    C, n, m, f, k = 2, 512, 96, 2, 64
+    for case in ("correlated", "separable", "imbalanced"):
+        Xt = rng.normal(10, 3, (C, n, f)).astype(np.float32)
+        if case == "correlated":
+            yt = (0.8 * Xt[..., 0] + rng.normal(0, 1.0, (C, n)) + 5).astype(np.float32)
+            thresh = float(np.median(yt))
+        elif case == "separable":
+            yt = (2.0 * Xt[..., 0] + 0.01 * rng.normal(0, 1, (C, n)) + 5).astype(np.float32)
+            thresh = float(np.median(yt))
+        else:
+            yt = (0.2 * rng.normal(10, 3, (C, n)) + 13).astype(np.float32)
+            thresh = float(np.quantile(yt, 0.97))
+        Xq = rng.normal(10, 3, (C, m, f)).astype(np.float32)
+
+        probs = {}
+        for n_iter in (8, 24):
+            _, prob, _, _ = analog_regression_stats(
+                jnp.asarray(Xt), jnp.asarray(yt), jnp.asarray(Xq),
+                k=k, thresh=thresh, n_iter=n_iter, interpret=True,
+            )
+            probs[n_iter] = np.asarray(prob)
+        err = float(np.nanmax(np.abs(probs[8] - probs[24])))
+        assert err < 1e-5, (case, err)
