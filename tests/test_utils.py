@@ -237,6 +237,129 @@ class TestDisagg:
         npt.assert_allclose(out, climo[months] * 2.0, rtol=1e-6)
 
 
+class TestTemporalDisagg:
+    """temporal_disaggregate / bcsd_disaggregator (roadmap.rst:21-38)."""
+
+    def _problem(self, rng, kind, ny=0, obs_years=(1981, 1984), out_years=(1990, 1992)):
+        import pandas as pd
+
+        obs_index = pd.date_range(f"{obs_years[0]}-01-01", f"{obs_years[1]}-12-31", freq="D")
+        monthly_index = pd.date_range(
+            f"{out_years[0]}-01-01", f"{out_years[1]}-12-31", freq="MS"
+        )
+        shape = (len(obs_index),) + ((ny,) if ny else ())
+        if kind == "temperature":
+            doy = np.asarray(obs_index.dayofyear)
+            obs = 280 + 10 * np.sin(2 * np.pi * doy / 365.25)[(...,) + (None,) * bool(ny)]
+            obs = obs + rng.normal(0, 1, shape)
+            monthly = 285 + rng.normal(0, 3, (len(monthly_index),) + shape[1:])
+        else:
+            obs = rng.gamma(2.0, 3.0, shape)
+            monthly = rng.gamma(2.0, 3.0, (len(monthly_index),) + shape[1:]) + 0.5
+        return monthly, monthly_index, obs, obs_index
+
+    @pytest.mark.parametrize("kind", ["temperature", "precipitation"])
+    @pytest.mark.parametrize("ny", [0, 3])
+    def test_conserves_monthly_means(self, rng, kind, ny):
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        monthly, mi, obs, oi = self._problem(rng, kind, ny=ny)
+        out = np.asarray(temporal_disaggregate(monthly, mi, obs, oi, kind=kind))
+        import pandas as pd
+
+        out_index = pd.date_range(mi[0], mi[-1] + pd.offsets.MonthEnd(0), freq="D")
+        assert out.shape == (len(out_index),) + monthly.shape[1:]
+        # each output month's mean equals the monthly input (conservation)
+        key = out_index.year * 100 + out_index.month
+        for i, k in enumerate(np.unique(key)):
+            npt.assert_allclose(
+                out[key == k].mean(axis=0), monthly[i], rtol=1e-9, atol=1e-9
+            )
+
+    def test_temperature_pattern_shape(self, rng):
+        """With monthly == obs month means, output tracks the obs daily cycle."""
+        import pandas as pd
+
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        obs_index = pd.date_range("1981-01-01", "1983-12-31", freq="D")
+        doy = np.asarray(obs_index.dayofyear)
+        obs = 280 + 10 * np.sin(2 * np.pi * doy / 365.25)  # no year-to-year noise
+        mdf = pd.Series(obs, index=obs_index).resample("MS").mean()
+        out = np.asarray(
+            temporal_disaggregate(mdf.to_numpy(), mdf.index, obs, obs_index, obs_index)
+        )
+        # same period, same monthly means -> reconstruction close to obs
+        npt.assert_allclose(out, obs, atol=0.35)
+        npt.assert_allclose(out.mean(), obs.mean(), rtol=1e-9)
+
+    def test_unseen_doy_is_neutral_and_conserved(self, rng):
+        """Output includes a leap day the obs record never saw."""
+        import pandas as pd
+
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        obs_index = pd.date_range("1981-01-01", "1983-12-31", freq="D")  # no leap years
+        obs = rng.gamma(2.0, 3.0, len(obs_index))
+        monthly_index = pd.date_range("1984-01-01", "1984-12-31", freq="MS")
+        monthly = rng.gamma(2.0, 3.0, 12) + 0.5
+        out = np.asarray(
+            temporal_disaggregate(monthly, monthly_index, obs, obs_index, kind="precipitation")
+        )
+        assert np.isfinite(out).all() and (out >= 0).all()
+        out_index = pd.date_range("1984-01-01", "1984-12-31", freq="D")
+        feb = out[np.asarray(out_index.month) == 2]
+        npt.assert_allclose(feb.mean(), monthly[1], rtol=1e-9)
+
+    def test_all_dry_month_distributes_uniformly(self, rng):
+        import pandas as pd
+
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        obs_index = pd.date_range("1981-01-01", "1982-12-31", freq="D")
+        obs = rng.gamma(2.0, 3.0, len(obs_index))
+        obs[np.asarray(obs_index.month) == 7] = 0.0  # July always dry in obs
+        monthly_index = pd.date_range("1990-01-01", "1990-12-31", freq="MS")
+        monthly = np.full(12, 6.0)
+        out = np.asarray(
+            temporal_disaggregate(monthly, monthly_index, obs, obs_index, kind="precipitation")
+        )
+        out_index = pd.date_range("1990-01-01", "1990-12-31", freq="D")
+        july = out[np.asarray(out_index.month) == 7]
+        npt.assert_allclose(july, 6.0, rtol=1e-9)  # uniform fallback
+
+    def test_bcsd_disaggregator_dataarray(self, rng):
+        import pandas as pd
+
+        from skdownscale_tpu.utils.disagg import bcsd_disaggregator
+        from skdownscale_tpu.xlite import DataArray
+
+        monthly, mi, obs, oi = self._problem(rng, "temperature", ny=4)
+        ds = DataArray(monthly, ("time", "y"), {"time": mi, "y": np.arange(4)})
+        od = DataArray(obs, ("time", "y"), {"time": oi, "y": np.arange(4)})
+        out = bcsd_disaggregator(ds, od)
+        assert out.dims == ("time", "y")
+        out_index = pd.date_range(mi[0], mi[-1] + pd.offsets.MonthEnd(0), freq="D")
+        assert len(out.coords["time"]) == len(out_index) == out.data.shape[0]
+        key = out_index.year * 100 + out_index.month
+        for i, k in enumerate(np.unique(key)):
+            npt.assert_allclose(
+                np.asarray(out.data)[key == k].mean(axis=0), monthly[i], rtol=1e-9
+            )
+
+    def test_bad_kind_and_missing_month_raise(self, rng):
+        import pandas as pd
+
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        monthly, mi, obs, oi = self._problem(rng, "temperature")
+        with pytest.raises(ValueError, match="unknown kind"):
+            temporal_disaggregate(monthly, mi, obs, oi, kind="wind")
+        bad_out = pd.date_range("2050-01-01", "2050-03-31", freq="D")
+        with pytest.raises(ValueError, match="missing from monthly_index"):
+            temporal_disaggregate(monthly, mi, obs, oi, bad_out)
+
+
 class TestScore:
     def test_regressor_score(self, rng):
         idx = pd.date_range("1990-01-01", periods=200, freq="D")
