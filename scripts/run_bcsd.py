@@ -60,7 +60,15 @@ def main(argv=None):
     p.add_argument("--no-anoms", action="store_true", help="return absolute values")
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--demo", action="store_true", help="run on a synthetic demo grid")
+    p.add_argument(
+        "--daily-obs",
+        help="daily observed grid (.npz): also write the temporally"
+        " disaggregated daily output (<out>.daily.npz) — the SD step the"
+        " reference CLI delegates to the external xsd package",
+    )
     args = p.parse_args(argv)
+    if args.daily_obs and not args.no_anoms:
+        p.error("--daily-obs requires --no-anoms (disaggregate absolute values)")
 
     import skdownscale_tpu as sdt
 
@@ -100,6 +108,25 @@ def main(argv=None):
         time=np.asarray(pred.coords["time"]).astype("datetime64[ns]"),
     )
     print(f"wrote {args.out}")
+
+    if args.daily_obs:
+        from skdownscale_tpu.utils.disagg import bcsd_disaggregator, daily_index_for_months
+
+        obs_daily = load_grid(args.daily_obs)
+        t0 = time.perf_counter()
+        daily = bcsd_disaggregator(out, obs_daily, kind=args.kind)
+        daily_vals = np.asarray(daily.data)
+        t_disagg = time.perf_counter() - t0
+        daily_path = args.out + ".daily.npz"
+        np.savez(
+            daily_path,
+            data=daily_vals,
+            time=np.asarray(
+                daily_index_for_months(out.coords["time"])
+            ).astype("datetime64[ns]"),
+        )
+        print(json.dumps({"disagg_s": round(t_disagg, 3), "daily_steps": daily_vals.shape[0]}))
+        print(f"wrote {daily_path}")
 
 
 if __name__ == "__main__":
