@@ -35,7 +35,9 @@ library's talk notebook (`2020ECAHM-scikit-downscale.ipynb`) and
    `PointWiseDownscaler` — every valid cell batched into **one XLA
    program** (the reference loops a Python estimator per cell);
 5. correct wind speeds with `ZScoreRegressor` and reproduce the
-   reference's z-score diagnostic figures.
+   reference's z-score diagnostic figures;
+6. temporally disaggregate the corrected monthly grid to daily with
+   `bcsd_disaggregator` — the roadmap's envisioned final BCSD step.
 
 The data here are synthetic stand-ins with the same shape/statistics as the
 reference's zarr samples (this environment has no object-store egress; see
@@ -201,7 +203,49 @@ f2 = zscore_correction_plot(z)""",
     ),
     (
         "md",
-        """## 6. Scaling up
+        """## 6. Monthly → daily: the "SD" in BCSD
+
+The reference roadmap sketches `bcsd_disaggregator(downscaled, obs_daily)`
+as the final BCSD step (ref `docs/roadmap.rst:21-38`) but never implements
+it (its legacy CLI delegates to the external `xsd` package).  Here each
+bias-corrected monthly value is distributed over its days using the obs
+daily climatology's within-month pattern — additive for temperature — and
+every output month's mean equals the monthly input **exactly**
+(conservation).  The calendar structure is host membership matrices; the
+device work is three mean-pooling matmuls batched over the whole grid.""",
+    ),
+    (
+        "code",
+        """from skdownscale_tpu.utils.disagg import bcsd_disaggregator
+from skdownscale_tpu.xlite import DataArray
+
+oi = pd.date_range("1990-01-01", "1994-12-31", freq="D")
+doy = np.asarray(oi.dayofyear)
+rng = np.random.default_rng(1)
+obs_daily = (283 + 10 * np.sin(2 * np.pi * doy / 365.25)[:, None, None]
+             + rng.normal(0, 2, (len(oi), 12, 12)))
+obs_daily_da = DataArray(obs_daily, ("time", "y", "x"),
+                         {"time": oi, "y": np.arange(12), "x": np.arange(12)})
+
+daily = bcsd_disaggregator(out, obs_daily_da, kind="temperature")
+dvals, dtime = np.asarray(daily.data), daily.coords["time"]
+key = np.asarray(dtime.year) * 100 + np.asarray(dtime.month)
+mvals = np.asarray(out.values)
+cons = max(float(np.nanmax(np.abs(dvals[key == k].mean(axis=0) - mvals[i])))
+           for i, k in enumerate(np.unique(key)))
+print(f"{dvals.shape[0]} daily steps; max conservation error {cons:.2e} K")
+
+sel = slice(0, 730)  # two years at one land cell
+fig, ax = plt.subplots(figsize=(9, 3.2))
+ax.plot(np.asarray(dtime)[sel], dvals[sel, 6, 6], lw=0.6,
+        label="daily (disaggregated)")
+ax.step(np.asarray(out.coords["time"])[:24], mvals[:24, 6, 6], where="post",
+        lw=1.8, color="C1", label="monthly (bias-corrected)")
+ax.set_ylabel("K"); ax.legend(loc="upper right");""",
+    ),
+    (
+        "md",
+        """## 7. Scaling up
 
 Everything above was single-cell or a small grid on CPU.  The production
 path is the same API at continental scale on TPU:

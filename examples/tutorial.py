@@ -14,7 +14,10 @@ diagnostic artifacts on disk:
    saved to ``examples/output/tutorial_probplots.png``;
 4. scale the winning model over a (time, y, x) grid with
    ``PointWiseDownscaler`` (NaN ocean cells masked), saving a bias map to
-   ``examples/output/tutorial_bias_map.png``.
+   ``examples/output/tutorial_bias_map.png``;
+5. correct wind speeds with ``ZScoreRegressor`` (two diagnostic figures);
+6. temporally disaggregate the corrected monthly grid to daily with
+   ``bcsd_disaggregator`` (``examples/output/tutorial_disagg.png``).
 
 Run: python examples/tutorial.py   (~1 min on CPU; figures need matplotlib)
 """
@@ -142,6 +145,54 @@ def main():
     p2 = os.path.join(OUT_DIR, "tutorial_zscore_gaussians.png")
     f2.savefig(p2, dpi=110, bbox_inches="tight")
     print(f"saved z-score diagnostics -> {p1}, {p2}")
+
+    # ------------------------------------------------------------------
+    # 6. monthly -> daily: the disaggregation step ("SD" in BCSD).  The
+    #    reference roadmap sketches bcsd_disaggregator(downscaled, obs_daily)
+    #    (ref docs/roadmap.rst:21-38) but never implements it; here it
+    #    distributes each corrected monthly value over its days using the
+    #    obs daily climatology, conserving every monthly mean exactly.
+    # ------------------------------------------------------------------
+    import pandas as pd
+
+    from skdownscale_tpu.utils.disagg import bcsd_disaggregator
+    from skdownscale_tpu.xlite import DataArray
+
+    oi = pd.date_range("1990-01-01", "1994-12-31", freq="D")
+    doy = np.asarray(oi.dayofyear)
+    rng = np.random.default_rng(1)
+    obs_daily = (
+        283
+        + 10 * np.sin(2 * np.pi * doy / 365.25)[:, None, None]
+        + rng.normal(0, 2, (len(oi), 12, 12))
+    )
+    obs_daily_da = DataArray(
+        obs_daily, ("time", "y", "x"), {"time": oi, "y": np.arange(12), "x": np.arange(12)}
+    )
+    daily = bcsd_disaggregator(out, obs_daily_da, kind="temperature")
+    dvals = np.asarray(daily.data)
+    dtime = daily.coords["time"]
+    key = np.asarray(dtime.year) * 100 + np.asarray(dtime.month)
+    mvals = np.asarray(out.values)
+    cons = max(
+        float(np.nanmax(np.abs(dvals[key == k].mean(axis=0) - mvals[i])))
+        for i, k in enumerate(np.unique(key))
+    )
+    print(f"disaggregated {dvals.shape[0]} daily steps; "
+          f"max monthly-mean conservation error {cons:.2e} K")
+
+    sel = slice(0, 730)  # two years at one land cell
+    fig, ax = plt.subplots(figsize=(9, 3.2))
+    ax.plot(np.asarray(dtime)[sel], dvals[sel, 6, 6], lw=0.6, label="daily (disaggregated)")
+    ax.step(
+        np.asarray(out.coords["time"])[:24], mvals[:24, 6, 6],
+        where="post", lw=1.8, color="C1", label="monthly (bias-corrected)",
+    )
+    ax.set_ylabel("K")
+    ax.legend(loc="upper right")
+    path = os.path.join(OUT_DIR, "tutorial_disagg.png")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    print(f"saved disaggregation figure -> {path}")
 
 
 if __name__ == "__main__":
