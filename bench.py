@@ -383,6 +383,42 @@ def bench_qdm(n_cells=16384, n_fit=3650, n_predict=None, n_iters=2):
     return n_cells / dt, dt
 
 
+def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
+    """Multivariate MBCn (beyond parity): 10y daily, d variables, n_rot
+    rotation rounds over the cell batch in one scan program.  Returns
+    (cells/s, wall, bytes-accessed) — the workload is sort-bound (3-4 row
+    sorts per variable per rotation), so HBM roofline is the honest bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.models.mbc import mbcn_correct, mbcn_rotations
+
+    rng = np.random.default_rng(0)
+    corr = 0.6 * np.ones((d, d)) + 0.4 * np.eye(d)
+    L = np.linalg.cholesky(corr)
+    y = (rng.standard_normal((n_cells, n_time, d)) @ L.T).astype(np.float32)
+    xh = (rng.standard_normal((n_cells, n_time, d)) * 1.4 + 1.0).astype(np.float32)
+    xf = (rng.standard_normal((n_cells, n_time, d)) * 1.4 + 1.3).astype(np.float32)
+    rots = mbcn_rotations(d, n_rot, 0)
+    yd, xhd, xfd = jax.device_put(y), jax.device_put(xh), jax.device_put(xf)
+    kinds = ("difference",) * d
+
+    fn = jax.jit(lambda a, b, c: mbcn_correct(a, b, c, rots, kinds=kinds)[1])
+
+    def run():
+        return float(jnp.sum(fn(yd, xhd, xfd)))
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    nbytes = _bytes_accessed(fn.lower(yd, xhd, xfd).compile())
+    return n_cells / dt, dt, nbytes
+
+
 # v5e per-chip peaks used for the GARD kernel bounds (VERDICT r2 #4):
 # MXU 394 bf16 TFLOP/s; VPU ~= 8x128 lanes x 4 ALUs x 0.94 GHz ~= 3.9 Tops/s
 _MXU_PEAK = 3.94e14
@@ -583,6 +619,25 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (20y daily DOY z-score fit+predict)",
                     "vs_baseline": round(cps / ref_cps, 1),  # per-cell loop rate
+                    "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                    "hbm_util": None if hbm_util is None else round(hbm_util, 3),
+                }
+            )
+        )
+        return
+    if model == "mbcn":
+        n = n_cells if len(sys.argv) > 1 else 2048
+        cps, dt, nbytes = bench_mbcn(n_cells=n)
+        bw = _device_peak_bw()
+        hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
+        print(
+            json.dumps(
+                {
+                    "metric": "mbcn_throughput",
+                    "value": round(cps, 1),
+                    "unit": "cells/sec (MBCn d=3, 10y daily, 20 rotations,"
+                    " hist+fut corrected)",
+                    "vs_baseline": None,  # no reference counterpart exists
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
                     "hbm_util": None if hbm_util is None else round(hbm_util, 3),
                 }

@@ -12,6 +12,7 @@ from skdownscale_tpu.models.bcsd import BcsdPrecipitation, BcsdTemperature
 from skdownscale_tpu.models.gard import AnalogRegression, PureAnalog, PureRegression
 from skdownscale_tpu.models.groupers import DAY_GROUPER, MONTH_GROUPER, PaddedDOYGrouper
 from skdownscale_tpu.models.grouping import GroupedRegressor
+from skdownscale_tpu.models.mbc import MBCn
 from skdownscale_tpu.models.quantile import (
     CunnaneTransformer,
     EquidistantCdfMatcher,
@@ -57,4 +58,6 @@ __all__ = [
     "GlobalDownscaler",
     "GlobalLinearRegressor",
     "GlobalQuantileMapper",
+    # beyond reference parity: multivariate bias correction (Cannon 2018)
+    "MBCn",
 ]

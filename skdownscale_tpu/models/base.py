@@ -205,7 +205,7 @@ class SingleCellEstimator:
                 f"Found input variables with inconsistent numbers of samples: "
                 f"[{len(arr)}, {len(yarr)}]"
             )
-        if _is_pandas(X) and _is_pandas(y):
+        if _is_pandas(X) and _is_pandas(y) and not getattr(self, "_allow_length_mismatch", False):
             if not np.array_equal(np.asarray(X.index), np.asarray(y.index)):
                 raise ValueError("X and y must share an identical index")
         return X, y

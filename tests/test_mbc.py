@@ -1,0 +1,196 @@
+"""MBCn multivariate bias correction (models/mbc.py, beyond parity).
+
+The reference has no multivariate estimator; correctness here is pinned by
+algorithm invariants (exact margin multisets, dependence convergence on
+Gaussian synthetic data), a np.interp golden for the in-loop rank map, and
+batch==per-cell equivalence.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from skdownscale_tpu.models.mbc import MBCn, mbcn_correct, mbcn_rotations
+from skdownscale_tpu.models.quantile import edcdfm_predict, qmr_fit
+
+
+def _correlated(rng, n, corr, scale=1.0, loc=0.0):
+    L = np.linalg.cholesky(corr)
+    return rng.standard_normal((n, corr.shape[0])) @ L.T * scale + loc
+
+
+CY = np.array([[1.0, 0.7, 0.2], [0.7, 1.0, 0.4], [0.2, 0.4, 1.0]])
+CX = np.array([[1.0, 0.1, 0.0], [0.1, 1.0, 0.1], [0.0, 0.1, 1.0]])
+
+
+@pytest.fixture()
+def problem(rng):
+    y = _correlated(rng, 900, CY)
+    xh = _correlated(rng, 800, CX, scale=1.5, loc=2.0)
+    xf = _correlated(rng, 600, CX, scale=1.5, loc=2.5)
+    return y, xh, xf
+
+
+class TestRotations:
+    def test_orthogonal_and_deterministic(self):
+        R = mbcn_rotations(4, 7, random_state=3)
+        assert R.shape == (7, 4, 4)
+        for q in R:
+            npt.assert_allclose(q @ q.T, np.eye(4), atol=1e-12)
+        npt.assert_array_equal(R, mbcn_rotations(4, 7, random_state=3))
+        assert not np.allclose(R, mbcn_rotations(4, 7, random_state=4))
+
+
+class TestRankMap:
+    def test_matches_np_interp(self, rng):
+        """The static rank-bracket map equals np.interp of the hist Cunnane
+        positions into the obs (pp, sorted-values) table."""
+        from skdownscale_tpu.models.mbc import _qm_rows_by_rank, _rank_bracket
+
+        n, m = 57, 83
+        z = rng.normal(size=(4, n))
+        y = rng.normal(size=(4, m))
+        lo, hi, w = _rank_bracket(n, m, 0.4, 0.4)
+        ys = jnp.sort(jnp.asarray(y), axis=-1)
+        mapped, zs, ms = _qm_rows_by_rank(
+            jnp.asarray(z), ys, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w)
+        )
+        pp_n = (np.arange(1, n + 1) - 0.4) / (n + 0.2)
+        pp_m = (np.arange(1, m + 1) - 0.4) / (m + 0.2)
+        for r in range(4):
+            expect_sorted = np.interp(pp_n, pp_m, np.sort(y[r]))
+            order = np.argsort(z[r], kind="stable")
+            expect = np.empty(n)
+            expect[order] = expect_sorted
+            npt.assert_allclose(np.asarray(mapped)[r], expect, rtol=1e-12)
+            npt.assert_allclose(np.asarray(ms)[r], expect_sorted, rtol=1e-12)
+            npt.assert_array_equal(np.asarray(zs)[r], np.sort(z[r]))
+
+
+class TestMbcnCorrect:
+    def test_margins_are_exact_qdm_multisets(self, problem):
+        """The closing reorder step only permutes: each output column's
+        multiset equals the QDM-corrected margin exactly."""
+        y, xh, xf = problem
+        R = mbcn_rotations(3, 10, 0)
+        oh, of = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf), R, kinds=("difference",) * 3
+        )
+        xh_rows = jnp.asarray(xh).T
+        state = qmr_fit(xh_rows, jnp.asarray(y).T, extrapolate="both")
+        mh = edcdfm_predict(state, xh_rows, kind="difference", extrapolate="both")
+        mf = edcdfm_predict(state, jnp.asarray(xf).T, kind="difference", extrapolate="both")
+        for j in range(3):
+            npt.assert_allclose(
+                np.sort(np.asarray(oh)[:, j]), np.sort(np.asarray(mh)[j]), rtol=1e-12
+            )
+            npt.assert_allclose(
+                np.sort(np.asarray(of)[:, j]), np.sort(np.asarray(mf)[j]), rtol=1e-12
+            )
+
+    def test_dependence_converges_to_obs_correlation(self, problem):
+        y, xh, xf = problem
+        R = mbcn_rotations(3, 30, 0)
+        oh, of = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf), R, kinds=("difference",) * 3
+        )
+        oh = np.asarray(oh)
+        cy, ch_raw, ch = np.corrcoef(y.T), np.corrcoef(xh.T), np.corrcoef(oh.T)
+        # raw model dependence is far from obs; corrected is close
+        assert np.abs(ch - cy).max() < 0.08
+        assert np.abs(ch_raw - cy).max() > 0.3
+        # the fut block inherits the corrected dependence structure
+        cf = np.corrcoef(np.asarray(of).T)
+        assert np.abs(cf - cy).max() < 0.15
+
+    def test_batched_equals_per_cell(self, rng):
+        C, n, m, p, d = 3, 200, 180, 150, 2
+        y = rng.normal(size=(C, m, d))
+        xh = rng.normal(size=(C, n, d)) + 1.0
+        xf = rng.normal(size=(C, p, d)) + 1.2
+        R = mbcn_rotations(d, 8, 1)
+        oh, of = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf), R, kinds=("difference",) * d
+        )
+        for c in range(C):
+            oh1, of1 = mbcn_correct(
+                jnp.asarray(y[c]), jnp.asarray(xh[c]), jnp.asarray(xf[c]), R,
+                kinds=("difference",) * d,
+            )
+            npt.assert_allclose(np.asarray(oh)[c], np.asarray(oh1), rtol=1e-10, atol=1e-12)
+            npt.assert_allclose(np.asarray(of)[c], np.asarray(of1), rtol=1e-10, atol=1e-12)
+
+    def test_ratio_kind_keeps_positive_margins(self, rng):
+        n, m, p, d = 400, 400, 300, 2
+        y = rng.gamma(2.0, 2.0, (m, d)) + 0.1
+        xh = rng.gamma(2.0, 3.0, (n, d)) + 0.1
+        xf = rng.gamma(2.0, 3.5, (p, d)) + 0.1
+        R = mbcn_rotations(d, 10, 0)
+        oh, of = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf), R,
+            kinds=("ratio", "ratio"),
+        )
+        assert (np.asarray(oh) > 0).all()
+        assert np.isfinite(np.asarray(of)).all()
+
+    def test_mixed_kinds_and_validation(self, problem):
+        y, xh, xf = problem
+        R = mbcn_rotations(3, 5, 0)
+        yp, xhp, xfp = np.abs(y) + 0.1, np.abs(xh) + 0.1, np.abs(xf) + 0.1
+        oh, _ = mbcn_correct(
+            jnp.asarray(yp), jnp.asarray(xhp), jnp.asarray(xfp), R,
+            kinds=("difference", "ratio", "difference"),
+        )
+        assert np.isfinite(np.asarray(oh)).all()
+        with pytest.raises(ValueError, match="kinds has"):
+            mbcn_correct(
+                jnp.asarray(yp), jnp.asarray(xhp), jnp.asarray(xfp), R,
+                kinds=("difference",),
+            )
+
+
+class TestMBCnClass:
+    def test_fit_predict_dataframe(self, problem):
+        y, xh, xf = problem
+        cols = ["tmax", "tmin", "pr"]
+        ih = pd.date_range("1980-01-01", periods=len(xh), freq="D")
+        i_f = pd.date_range("2050-01-01", periods=len(xf), freq="D")
+        iy = pd.date_range("1979-01-01", periods=len(y), freq="D")
+        model = MBCn(n_iterations=10, random_state=0)
+        model.fit(pd.DataFrame(xh, index=ih, columns=cols), pd.DataFrame(y, index=iy, columns=cols))
+        out = model.predict(pd.DataFrame(xf, index=i_f, columns=cols))
+        assert list(out.columns) == cols and out.shape == (len(xf), 3)
+        assert out.index.equals(i_f)
+        # functional-core equivalence
+        _, of = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf),
+            model.rotations_, kinds=("difference",) * 3, extrapolate="both",
+        )
+        npt.assert_allclose(out.to_numpy(), np.asarray(of), rtol=1e-10)
+        # transform corrects the calibration block itself
+        th = model.transform()
+        assert th.shape == xh.shape and np.isfinite(th).all()
+
+    def test_clone_and_errors(self, problem):
+        from sklearn.base import clone
+
+        y, xh, _ = problem
+        model = MBCn(n_iterations=3, kind="ratio", random_state=5)
+        c = clone(model)
+        assert c.get_params() == model.get_params()
+        with pytest.raises(Exception):
+            MBCn().predict(xh)  # not fitted
+        with pytest.raises(ValueError, match="variables"):
+            MBCn().fit(xh, y[:, :2])
+        with pytest.raises(ValueError, match="kind"):
+            MBCn(kind="bogus").fit(xh, y)
+        with pytest.raises(ValueError, match="kind"):
+            MBCn(kind=("difference",)).fit(xh, y)
+
+    def test_numpy_input_roundtrip(self, problem):
+        y, xh, xf = problem
+        out = MBCn(n_iterations=5).fit(xh, y).predict(xf)
+        assert isinstance(out, np.ndarray) and out.shape == xf.shape
