@@ -26,6 +26,7 @@ __all__ = [
     "wet_day_freq_bias",
     "annual_cycle_rmse",
     "trend_bias",
+    "energy_distance",
 ]
 
 
@@ -178,6 +179,32 @@ def trend_bias(y_true, y_pred):
     s_t, _ = ols_1d(t, jnp.where(v1, y_true, 0.0), v1.astype(y_true.dtype))
     s_p, _ = ols_1d(t, jnp.where(v2, y_pred, 0.0), v2.astype(y_pred.dtype))
     return s_p - s_t
+
+
+def energy_distance(x, y):
+    """Multivariate two-sample energy distance per cell (batched).
+
+    ``x``: (..., n, d) samples, ``y``: (..., m, d) samples; returns
+    ``sqrt(2 E||X-Y|| - E||X-X'|| - E||Y-Y'||)`` with the V-statistic
+    (all-pairs) empirical means — THE convergence diagnostic for
+    multivariate bias correction (MBCn iterates until this stops falling;
+    Cannon 2018 §2.3).  Zero iff the joint distributions match.
+
+    Pairwise distances ride the MXU (expanded ``x·x + y·y - 2 x·y`` form);
+    memory is O(n*m) per cell, so subsample long records before calling.
+    NaN anywhere in a sample row poisons that cell (multivariate rows have
+    no per-component masking) — filter rows first.
+    """
+
+    def _mean_pdist(a, b):
+        an = jnp.sum(a * a, axis=-1)  # (..., n)
+        bn = jnp.sum(b * b, axis=-1)  # (..., m)
+        cross = a @ jnp.swapaxes(b, -1, -2)  # (..., n, m) MXU
+        d2 = an[..., :, None] + bn[..., None, :] - 2.0 * cross
+        return jnp.mean(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=(-2, -1))
+
+    e2 = 2.0 * _mean_pdist(x, y) - _mean_pdist(x, x) - _mean_pdist(y, y)
+    return jnp.sqrt(jnp.maximum(e2, 0.0))
 
 
 def score_all(y_true, y_pred) -> dict:

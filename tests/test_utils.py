@@ -32,6 +32,43 @@ class TestMetrics:
         assert out["rmse"].shape == (5,)
         npt.assert_allclose(np.asarray(out["bias"]), 1.0, rtol=1e-9)
 
+    def test_energy_distance_brute_force(self, rng):
+        """V-statistic energy distance vs a brute-force numpy evaluation."""
+        x = rng.normal(size=(40, 3))
+        y = rng.normal(size=(55, 3)) + 0.5
+
+        def mean_pd(a, b):
+            return np.mean(np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1))
+
+        want = np.sqrt(2 * mean_pd(x, y) - mean_pd(x, x) - mean_pd(y, y))
+        got = float(metrics.energy_distance(jnp.asarray(x), jnp.asarray(y)))
+        npt.assert_allclose(got, want, rtol=1e-9)
+        # identical samples -> 0; batched leading dims
+        npt.assert_allclose(float(metrics.energy_distance(jnp.asarray(x), jnp.asarray(x))), 0.0, atol=1e-9)
+        y40 = y[:40]
+        want40 = np.sqrt(2 * mean_pd(x, y40) - mean_pd(x, x) - mean_pd(y40, y40))
+        bx = jnp.asarray(np.stack([x, x]))
+        by = jnp.asarray(np.stack([y40, x]))
+        out = np.asarray(metrics.energy_distance(bx, by))
+        assert out.shape == (2,)
+        npt.assert_allclose(out[0], want40, rtol=1e-9)
+        npt.assert_allclose(out[1], 0.0, atol=1e-9)
+
+    def test_energy_distance_tracks_mbcn_convergence(self, rng):
+        """MBCn output is closer to obs (in energy distance) than raw input."""
+        from skdownscale_tpu.models.mbc import mbcn_correct, mbcn_rotations
+
+        L = np.linalg.cholesky(np.array([[1.0, 0.8], [0.8, 1.0]]))
+        y = rng.standard_normal((400, 2)) @ L.T
+        xh = rng.standard_normal((400, 2)) * 1.5 + 1.0
+        oh, _ = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xh),
+            mbcn_rotations(2, 20, 0), kinds=("difference", "difference"),
+        )
+        e_raw = float(metrics.energy_distance(jnp.asarray(xh), jnp.asarray(y)))
+        e_cor = float(metrics.energy_distance(oh, jnp.asarray(y)))
+        assert e_cor < e_raw / 5
+
     def test_ks_stat_matches_scipy(self, rng):
         from scipy.stats import ks_2samp
 
