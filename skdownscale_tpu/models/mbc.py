@@ -57,7 +57,7 @@ from ..ops.interp import interp_rows
 from .base import SingleCellEstimator, asarray_2d
 from .quantile import _sort_with_positions, _unsort, edcdfm_predict, qmr_fit
 
-__all__ = ["mbcn_rotations", "mbcn_correct", "MBCn"]
+__all__ = ["mbcn_rotations", "mbcn_correct", "mbcn_grid", "MBCn"]
 
 
 def mbcn_rotations(d: int, n_iterations: int, random_state: int = 0) -> np.ndarray:
@@ -195,6 +195,113 @@ def mbcn_correct(
         return jnp.swapaxes(_unsort(ms, pos), -1, -2)
 
     return reorder(mh_rows, zh_fin), reorder(mf_rows, zf_fin)
+
+
+def mbcn_grid(
+    y_obs,
+    x_hist,
+    x_fut,
+    *,
+    variables=None,
+    n_iterations: int = 20,
+    kind="difference",
+    extrapolate="both",
+    n_endpoints: int = 10,
+    random_state: int = 0,
+    cell_chunk_size: int | None = None,
+    sharding=None,
+):
+    """Grid-level MBCn: joint correction over every valid cell of a grid.
+
+    Parameters
+    ----------
+    y_obs, x_hist, x_fut : ``xlite.Dataset`` (or real xarray Dataset) of the
+        SAME d variables on ``(time, *spatial)`` grids; the three time axes
+        may differ, the spatial shapes must match.
+    variables : explicit variable order (default: ``y_obs``'s order).
+    cell_chunk_size : cap on cells per device pass (HBM budget at
+        continental scale; each pass is one XLA program).
+    sharding : optional ``NamedSharding`` with a leading cells axis — the
+        packed ``(cells, time, d)`` blocks are placed with it so the
+        rotation scan runs SPMD over the mesh.
+
+    Returns ``(hist_out, fut_out)`` Datasets on the input grids; cells with
+    any non-finite sample in any variable of any input stay NaN (the
+    multivariate transform has no per-component masking).
+    """
+    variables = list(variables or y_obs.data_vars)
+    d = len(variables)
+
+    def pack(ds):
+        first = ds[variables[0]]
+        arrs = [np.asarray(ds[v].values, dtype=np.float64) for v in variables]
+        T = arrs[0].shape[0]
+        spatial = arrs[0].shape[1:]
+        flat = np.stack([a.reshape(T, -1) for a in arrs], axis=-1)  # (T, C, d)
+        return np.moveaxis(flat, 0, 1), first, spatial  # (C, T, d)
+
+    yo, _, sp_y = pack(y_obs)
+    xh, da_h, sp_h = pack(x_hist)
+    xf, da_f, sp_f = pack(x_fut)
+    if not (sp_y == sp_h == sp_f):
+        raise ValueError(f"spatial shapes differ: {sp_y} vs {sp_h} vs {sp_f}")
+    valid = (
+        np.isfinite(yo).all(axis=(1, 2))
+        & np.isfinite(xh).all(axis=(1, 2))
+        & np.isfinite(xf).all(axis=(1, 2))
+    )
+    ids = np.nonzero(valid)[0]
+    rots = mbcn_rotations(d, int(n_iterations), int(random_state))
+    kinds = (kind,) * d if isinstance(kind, str) else tuple(kind)
+
+    out_h = np.full_like(xh, np.nan)
+    out_f = np.full_like(xf, np.nan)
+    step = len(ids) if not cell_chunk_size else int(cell_chunk_size)
+    if sharding is not None:
+        axis0 = sharding.spec[0]
+        mult = int(sharding.mesh.shape[axis0]) if axis0 is not None else 1
+    else:
+        mult = 1
+    for s in range(0, len(ids), max(step, 1)):
+        sel = ids[s : s + step]
+        pad = (-len(sel)) % mult
+        # replicate cells (cycling) so every shard is populated
+        fill = np.resize(np.arange(len(sel)), len(sel) + pad)
+        blocks = []
+        for a in (yo, xh, xf):
+            b = jnp.asarray(a[sel][fill] if pad else a[sel])
+            if sharding is not None:
+                b = jax.device_put(b, sharding)
+            blocks.append(b)
+        oh, of = mbcn_correct(
+            *blocks, rots, kinds=kinds, extrapolate=extrapolate, n_endpoints=n_endpoints
+        )
+        out_h[sel] = np.asarray(oh)[: len(sel)]
+        out_f[sel] = np.asarray(of)[: len(sel)]
+
+    def unpack(out, template, spatial):
+        T = out.shape[1]
+        real_xr = type(template).__module__.startswith("xarray")
+        das = {}
+        for j, v in enumerate(variables):
+            field = np.moveaxis(out[:, :, j], 0, 1).reshape(T, *spatial)
+            if real_xr:  # pragma: no cover - real-xarray images
+                import xarray as xr
+
+                das[v] = xr.DataArray(field, dims=template.dims, coords=template.coords)
+            else:
+                from skdownscale_tpu.xlite import DataArray as _DA
+
+                das[v] = _DA(field, template.dims, dict(template.coords))
+        if real_xr:  # pragma: no cover - real-xarray images
+            import xarray as xr
+
+            return xr.Dataset(das)
+        from skdownscale_tpu.xlite import Dataset as _DS
+
+        return _DS(das)
+
+    return unpack(out_h, da_h, sp_h), unpack(out_f, da_f, sp_f)
 
 
 class MBCn(SingleCellEstimator):

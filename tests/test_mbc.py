@@ -194,3 +194,75 @@ class TestMBCnClass:
         y, xh, xf = problem
         out = MBCn(n_iterations=5).fit(xh, y).predict(xf)
         assert isinstance(out, np.ndarray) and out.shape == xf.shape
+
+
+class TestMbcnGrid:
+    def _grids(self, rng, ny=3, nx=4, tm=180, to=200, tf=150):
+        from skdownscale_tpu.xlite import DataArray, Dataset
+
+        def ds(T, loc, start):
+            idx = pd.date_range(start, periods=T, freq="D")
+            coords = {"time": idx, "y": np.arange(ny), "x": np.arange(nx)}
+            das = {}
+            for j, v in enumerate(("tmax", "pr")):
+                a = rng.normal(loc + j, 1.5, (T, ny, nx))
+                a[:, 0, 0] = np.nan  # ocean cell
+                das[v] = DataArray(a, ("time", "y", "x"), coords)
+            return Dataset(das)
+
+        return ds(to, 0.0, "1980-01-01"), ds(tm, 1.0, "1981-01-01"), ds(tf, 1.3, "2050-01-01")
+
+    @pytest.mark.parametrize("chunk", [None, 5])
+    def test_grid_matches_core_and_masks(self, rng, chunk):
+        from skdownscale_tpu.models.mbc import mbcn_correct, mbcn_grid, mbcn_rotations
+
+        y, xh, xf = self._grids(rng)
+        oh, of = mbcn_grid(y, xh, xf, n_iterations=4, cell_chunk_size=chunk)
+        assert set(oh.data_vars) == {"tmax", "pr"} and set(of.data_vars) == {"tmax", "pr"}
+        vh = np.asarray(oh["tmax"].values)
+        assert vh.shape == np.asarray(xh["tmax"].values).shape
+        assert np.isnan(vh[:, 0, 0]).all()  # ocean propagated
+        assert np.isfinite(vh[:, 1:, :]).all()
+        # one valid cell equals the batch-native core directly
+        def cell(ds, yy, xx):
+            return np.stack(
+                [np.asarray(ds[v].values)[:, yy, xx] for v in ("tmax", "pr")], axis=-1
+            )
+        want_h, want_f = mbcn_correct(
+            jnp.asarray(cell(y, 1, 2)), jnp.asarray(cell(xh, 1, 2)), jnp.asarray(cell(xf, 1, 2)),
+            mbcn_rotations(2, 4, 0), kinds=("difference", "difference"),
+        )
+        got_h = cell(oh, 1, 2)
+        npt.assert_allclose(got_h, np.asarray(want_h), rtol=1e-9, atol=1e-10)
+        npt.assert_allclose(cell(of, 1, 2), np.asarray(want_f), rtol=1e-9, atol=1e-10)
+        # time coords follow each block's own axis
+        assert len(oh["tmax"].coords["time"]) == 180
+        assert len(of["tmax"].coords["time"]) == 150
+
+    def test_grid_sharded_matches_unsharded(self, rng):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from skdownscale_tpu.models.mbc import mbcn_grid
+        from skdownscale_tpu.parallel import cell_mesh
+
+        y, xh, xf = self._grids(rng, ny=4, nx=4)
+        mesh = cell_mesh(jax.devices())
+        sh = NamedSharding(mesh, P("cells", None, None))
+        oh0, of0 = mbcn_grid(y, xh, xf, n_iterations=3)
+        oh1, of1 = mbcn_grid(y, xh, xf, n_iterations=3, sharding=sh)
+        for v in ("tmax", "pr"):
+            npt.assert_allclose(
+                np.asarray(oh1[v].values), np.asarray(oh0[v].values), rtol=1e-9, atol=1e-12
+            )
+            npt.assert_allclose(
+                np.asarray(of1[v].values), np.asarray(of0[v].values), rtol=1e-9, atol=1e-12
+            )
+
+    def test_grid_shape_mismatch_raises(self, rng):
+        from skdownscale_tpu.models.mbc import mbcn_grid
+
+        y, xh, xf = self._grids(rng)
+        y2, _, _ = self._grids(rng, ny=5)
+        with pytest.raises(ValueError, match="spatial shapes"):
+            mbcn_grid(y2, xh, xf, n_iterations=2)
