@@ -37,7 +37,9 @@ library's talk notebook (`2020ECAHM-scikit-downscale.ipynb`) and
 5. correct wind speeds with `ZScoreRegressor` and reproduce the
    reference's z-score diagnostic figures;
 6. temporally disaggregate the corrected monthly grid to daily with
-   `bcsd_disaggregator` — the roadmap's envisioned final BCSD step.
+   `bcsd_disaggregator` — the roadmap's envisioned final BCSD step;
+7. correct tmax and pr *jointly* with `MBCn` (multivariate, beyond
+   reference parity) and check convergence with the energy distance.
 
 The data here are synthetic stand-ins with the same shape/statistics as the
 reference's zarr samples (this environment has no object-store egress; see
@@ -245,7 +247,56 @@ ax.set_ylabel("K"); ax.legend(loc="upper right");""",
     ),
     (
         "md",
-        """## 7. Scaling up
+        """## 7. Correct several variables jointly (MBCn)
+
+Everything above corrects one variable at a time, which leaves
+cross-variable dependence — hot-dry spells, warm-wet storms — at the
+model's (wrong) values.  `MBCn` (Cannon 2018's N-dimensional pdf
+transform, beyond reference parity) corrects the *joint* distribution:
+QDM margins per variable plus rotation/quantile-map rounds that pull the
+dependence structure onto the observations.""",
+    ),
+    (
+        "code",
+        """rng = np.random.default_rng(7)
+
+def make_tp(index, corr_tp, t_bias=0.0, p_scale=1.0):
+    n, doy = len(index), np.asarray(index.dayofyear)
+    L = np.linalg.cholesky(np.array([[1.0, corr_tp], [corr_tp, 1.0]]))
+    z = rng.standard_normal((n, 2)) @ L.T
+    return pd.DataFrame({
+        "tmax": 285 + 10*np.sin(2*np.pi*doy/365.25) + 3*z[:, 0] + t_bias,
+        "pr": np.maximum(0.05, np.exp(0.8*z[:, 1]) * p_scale),
+    }, index=index)
+
+obs_tp  = make_tp(pd.date_range("1980-01-01", "1999-12-31", freq="D"), -0.6, 0.0, 2.0)
+hist_tp = make_tp(pd.date_range("1980-01-01", "1999-12-31", freq="D"), -0.1, 2.0, 3.0)
+fut_tp  = make_tp(pd.date_range("2050-01-01", "2069-12-31", freq="D"), -0.1, 2.8, 3.2)
+
+mb = sdt.MBCn(n_iterations=25, kind=("difference", "ratio"), random_state=0)
+corrected_tp = mb.fit(hist_tp, obs_tp).predict(fut_tp)
+
+from skdownscale_tpu.utils.metrics import energy_distance
+import jax.numpy as jnp
+rows = []
+for name, df in [("obs", obs_tp), ("raw future", fut_tp),
+                 ("MBCn future", corrected_tp)]:
+    rows.append({
+        "series": name,
+        "tmax-pr corr": float(np.corrcoef(df["tmax"], df["pr"])[0, 1]),
+        "energy dist to obs": float(energy_distance(
+            jnp.asarray(df.to_numpy()[::5]), jnp.asarray(obs_tp.to_numpy()[::5]))),
+    })
+pd.DataFrame(rows).set_index("series").round(3)""",
+    ),
+    (
+        "md",
+        """The corrected future recovers the observed (negative) tmax–pr
+correlation while QDM margins preserve the model's warming and wetting
+deltas; see `examples/mbcn_example.py` for the joint-scatter figure and
+`mbcn_grid` for the cell-batched grid path.
+
+## 8. Scaling up
 
 Everything above was single-cell or a small grid on CPU.  The production
 path is the same API at continental scale on TPU:
