@@ -12,8 +12,9 @@ model family:
    (:func:`~skdownscale_tpu.models.quantile.edcdfm_predict`, difference or
    ratio kind per variable), preserving the model's per-quantile climate
    deltas.
-2. **Dependence** — starting from the raw model data, ``n_iterations``
-   rounds of: rotate (obs, hist, fut) by a random orthogonal matrix,
+2. **Dependence** — starting from the QDM-corrected data (per the paper's
+   step order), ``n_iterations`` rounds of: rotate (obs, hist, fut) by a
+   random orthogonal matrix,
    empirically quantile-map each rotated *hist* coordinate onto the rotated
    obs coordinate (the fut block is passed through the same transfer
    function by monotone value interpolation), rotate back.  This is the
@@ -145,22 +146,7 @@ def mbcn_correct(
     lo, hi, w = _rank_bracket(n, m, alpha, beta)
     lo_j, hi_j, w_j = jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w).astype(dtype)
 
-    # ---- dependence iterations (rotate / rank-map / unrotate) ----------
-    def body(carry, Q):
-        zh, zf = carry  # (..., n, d), (..., p, d)
-        yr = jnp.swapaxes(y_obs @ Q, -1, -2)  # (..., d, m) axis-major rows
-        zhr = jnp.swapaxes(zh @ Q, -1, -2)
-        zfr = jnp.swapaxes(zf @ Q, -1, -2)
-        ys = jax.lax.sort(yr, dimension=yr.ndim - 1)
-        zh_m, zs, ms = _qm_rows_by_rank(zhr, ys, lo_j, hi_j, w_j)
-        zf_m = interp_rows(zs, ms, zfr)
-        zh2 = jnp.swapaxes(zh_m, -1, -2) @ Q.T
-        zf2 = jnp.swapaxes(zf_m, -1, -2) @ Q.T
-        return (zh2, zf2), None
-
-    (zh_fin, zf_fin), _ = jax.lax.scan(body, (x_hist, x_fut), rotations)
-
-    # ---- QDM margins (existing univariate core, grouped by kind) -------
+    # ---- step 1: QDM margins (existing univariate core, by kind) -------
     xh_rows = jnp.swapaxes(x_hist, -1, -2)  # (..., d, n)
     xf_rows = jnp.swapaxes(x_fut, -1, -2)
     yo_rows = jnp.swapaxes(y_obs, -1, -2)
@@ -187,7 +173,24 @@ def mbcn_correct(
     mh_rows = jnp.stack(mh_cols, axis=-2)
     mf_rows = jnp.stack(mf_cols, axis=-2)
 
-    # ---- reorder margins to the iterated ranks (scatter-free) ----------
+    # ---- step 2: dependence iterations (rotate / rank-map / unrotate),
+    # starting from the QDM-corrected data per Cannon 2018's algorithm ----
+    def body(carry, Q):
+        zh, zf = carry  # (..., n, d), (..., p, d)
+        yr = jnp.swapaxes(y_obs @ Q, -1, -2)  # (..., d, m) axis-major rows
+        zhr = jnp.swapaxes(zh @ Q, -1, -2)
+        zfr = jnp.swapaxes(zf @ Q, -1, -2)
+        ys = jax.lax.sort(yr, dimension=yr.ndim - 1)
+        zh_m, zs, ms = _qm_rows_by_rank(zhr, ys, lo_j, hi_j, w_j)
+        zf_m = interp_rows(zs, ms, zfr)
+        zh2 = jnp.swapaxes(zh_m, -1, -2) @ Q.T
+        zf2 = jnp.swapaxes(zf_m, -1, -2) @ Q.T
+        return (zh2, zf2), None
+
+    z_init = (jnp.swapaxes(mh_rows, -1, -2), jnp.swapaxes(mf_rows, -1, -2))
+    (zh_fin, zf_fin), _ = jax.lax.scan(body, z_init, rotations)
+
+    # ---- step 3: reorder margins to the iterated ranks (scatter-free) --
     def reorder(margin_rows, z_fin):
         zr = jnp.swapaxes(z_fin, -1, -2)
         _, pos = _sort_with_positions(zr)
