@@ -357,6 +357,12 @@ class MBCn(SingleCellEstimator):
         X, y = self._validate_data(X, y=y)
         xa = asarray_2d(X)
         ya = asarray_2d(y)
+        if not np.isfinite(xa).all():
+            raise ValueError(
+                "MBCn input X contains non-finite values; the multivariate "
+                "transform has no per-component masking — drop those rows "
+                "(grids: mbcn_grid masks whole cells)"
+            )
         if ya.shape[1] != xa.shape[1]:
             raise ValueError(
                 f"y has {ya.shape[1]} variables but X has {xa.shape[1]}; MBCn "
@@ -373,6 +379,12 @@ class MBCn(SingleCellEstimator):
         self._check_is_fitted()
         X = self._validate_data(X, reset=False)
         xa = asarray_2d(X)
+        if not np.isfinite(xa).all():
+            raise ValueError(
+                "MBCn input X contains non-finite values; the multivariate "
+                "transform has no per-component masking — drop those rows "
+                "(grids: mbcn_grid masks whole cells)"
+            )
         _, out = mbcn_correct(
             jnp.asarray(self.y_obs_),
             jnp.asarray(self.x_hist_),

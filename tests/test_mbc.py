@@ -195,6 +195,18 @@ class TestMBCnClass:
         out = MBCn(n_iterations=5).fit(xh, y).predict(xf)
         assert isinstance(out, np.ndarray) and out.shape == xf.shape
 
+    def test_nan_rows_rejected(self, problem):
+        y, xh, xf = problem
+        xbad = xh.copy()
+        xbad[3, 1] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            MBCn(n_iterations=2).fit(xbad, y)
+        m = MBCn(n_iterations=2).fit(xh, y)
+        fbad = xf.copy()
+        fbad[0, 0] = np.inf
+        with pytest.raises(ValueError, match="non-finite"):
+            m.predict(fbad)
+
 
 class TestMbcnGrid:
     def _grids(self, rng, ny=3, nx=4, tm=180, to=200, tf=150):
