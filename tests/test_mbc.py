@@ -203,8 +203,12 @@ class TestMBCnClass:
             MBCn(n_iterations=2).fit(xbad, y)
         m = MBCn(n_iterations=2).fit(xh, y)
         fbad = xf.copy()
-        fbad[0, 0] = np.inf
+        fbad[0, 0] = np.nan
         with pytest.raises(ValueError, match="non-finite"):
+            m.predict(fbad)
+        # inf is rejected upstream with sklearn's wording (asarray_2d)
+        fbad[0, 0] = np.inf
+        with pytest.raises(ValueError, match="infinity"):
             m.predict(fbad)
 
 
