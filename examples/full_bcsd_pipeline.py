@@ -83,9 +83,15 @@ def main():
     fine_climo = np.stack(
         [obs_fd[np.asarray(oi.month) == m + 1].mean(axis=0) for m in range(12)]
     )
-    anoms_f = np.nan_to_num(anoms, nan=0.0)  # regrid treats ocean as 0-anomaly
     fine_monthly = np.asarray(
-        spatial_disaggregate(anoms_f, fine_climo, month_labels, kind="temperature")
+        spatial_disaggregate(
+            anoms, fine_climo, month_labels, kind="temperature", nan_aware=True
+        )
+    )
+    # coastal fine cells take renormalized valid-neighbor means; fully-ocean
+    # fine cells stay NaN -> fill with climatology for the daily step
+    fine_monthly = np.where(
+        np.isfinite(fine_monthly), fine_monthly, fine_climo[month_labels]
     )
     print(f"2. spatial disaggregation: {anoms.shape[1:]} -> {fine_monthly.shape[1:]} "
           f"(bilinear x{scale} + fine monthly climatology)")

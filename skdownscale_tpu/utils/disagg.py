@@ -32,11 +32,23 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "method"))
-def interp_to_fine(coarse, shape, method: str = "bilinear"):
-    """Resample (..., ny, nx) fields to ``shape=(NY, NX)`` (batched)."""
+@functools.partial(jax.jit, static_argnames=("shape", "method", "nan_aware"))
+def interp_to_fine(coarse, shape, method: str = "bilinear", nan_aware: bool = False):
+    """Resample (..., ny, nx) fields to ``shape=(NY, NX)`` (batched).
+
+    With ``nan_aware=True``, NaN source cells (ocean/missing) are excluded
+    by mask-renormalization — ``resize(x*m) / resize(m)`` — so coastal fine
+    cells take the weighted mean of their *valid* coarse neighbors instead
+    of being NaN-poisoned; fine cells with zero valid coverage stay NaN.
+    """
     out_shape = (*coarse.shape[:-2], *shape)
-    return jax.image.resize(coarse, out_shape, method=method)
+    if not nan_aware:
+        return jax.image.resize(coarse, out_shape, method=method)
+    valid = jnp.isfinite(coarse)
+    num = jax.image.resize(jnp.where(valid, coarse, 0.0), out_shape, method=method)
+    den = jax.image.resize(valid.astype(coarse.dtype), out_shape, method=method)
+    eps = jnp.asarray(1e-6, coarse.dtype)
+    return jnp.where(den > eps, num / jnp.where(den > eps, den, 1.0), jnp.nan)
 
 
 def apply_climatology(anoms_fine, climo_fine, month_labels, *, kind: str = "temperature"):
@@ -61,6 +73,7 @@ def spatial_disaggregate(
     *,
     kind: str = "temperature",
     method: str = "bilinear",
+    nan_aware: bool = False,
 ):
     """Full SD step: coarse anomalies -> fine grid -> climatology applied.
 
@@ -71,8 +84,12 @@ def spatial_disaggregate(
     climo_fine : (12, NY, NX) fine-scale monthly climatology.
     month_labels : (T,) int month-1 labels for each time step.
     kind : 'temperature' (additive) or 'precipitation' (multiplicative).
+    nan_aware : exclude NaN (ocean) coarse cells by mask-renormalized
+        regridding instead of letting bilinear NaN-poison the coasts.
     """
-    fine = interp_to_fine(jnp.asarray(anoms_coarse), climo_fine.shape[-2:], method=method)
+    fine = interp_to_fine(
+        jnp.asarray(anoms_coarse), climo_fine.shape[-2:], method=method, nan_aware=nan_aware
+    )
     return apply_climatology(fine, jnp.asarray(climo_fine), jnp.asarray(month_labels), kind=kind)
 
 

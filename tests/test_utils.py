@@ -263,6 +263,22 @@ class TestDisagg:
         out2 = np.asarray(spatial_disaggregate(const, climo, months, kind="temperature"))
         npt.assert_allclose(out2, climo[months] + 1.5, rtol=1e-6)
 
+    def test_interp_to_fine_nan_aware(self, rng):
+        from skdownscale_tpu.utils.disagg import interp_to_fine
+
+        a = np.full((2, 6, 8), 3.5)
+        a[:, :2, :2] = np.nan  # ocean corner
+        out = np.asarray(interp_to_fine(a, (12, 16), nan_aware=True))
+        # constant field: every covered fine cell is exactly the constant
+        covered = np.isfinite(out)
+        npt.assert_allclose(out[covered], 3.5, rtol=1e-6)
+        # fine cells fully inside the NaN block stay NaN; far cells covered
+        assert np.isnan(out[:, 0, 0]).all()
+        assert np.isfinite(out[:, -1, -1]).all()
+        # default path NaN-poisons the coast (documents the difference)
+        raw = np.asarray(interp_to_fine(a, (12, 16), nan_aware=False))
+        assert np.isnan(raw).sum() > np.isnan(out).sum()
+
     def test_spatial_disaggregate_precip_ratio(self, rng):
         from skdownscale_tpu.utils.disagg import spatial_disaggregate
 
