@@ -27,6 +27,7 @@ __all__ = [
     "annual_cycle_rmse",
     "trend_bias",
     "energy_distance",
+    "validation_report",
 ]
 
 
@@ -216,3 +217,35 @@ def score_all(y_true, y_pred) -> dict:
         "pearsonr": pearsonr(y_true, y_pred),
         "r2": r2(y_true, y_pred),
     }
+
+
+def validation_report(y_true, preds: dict, *, quantile: float = 0.95, wet_thresh=None):
+    """Moment + distribution validation table for a panel of corrections.
+
+    ``y_true``: (..., T) observations; ``preds``: {name: (..., T)} candidate
+    series (include the raw model as a row to show the starting point).
+    Returns a pandas DataFrame (rows = names) of cell-averaged metrics:
+    bias, rmse, r², two-sample KS, tail-quantile bias, and (when
+    ``wet_thresh`` is given) wet-day-frequency bias — the panel the tutorial
+    notebook prints, as a reusable helper.
+    """
+    import pandas as pd
+
+    rows = []
+    for name, p in preds.items():
+        p = jnp.asarray(p)
+        row = {
+            "bias": float(jnp.nanmean(bias(y_true, p))),
+            "rmse": float(jnp.nanmean(rmse(y_true, p))),
+            "r2": float(jnp.nanmean(r2(y_true, p))),
+            "ks": float(jnp.nanmean(ks_stat(y_true, p))),
+            f"q{int(quantile * 100)}_bias": float(
+                jnp.nanmean(quantile_bias(y_true, p, quantile))
+            ),
+        }
+        if wet_thresh is not None:
+            row["wet_day_freq_bias"] = float(
+                jnp.nanmean(wet_day_freq_bias(y_true, p, wet_thresh))
+            )
+        rows.append(pd.Series(row, name=name))
+    return pd.DataFrame(rows)

@@ -32,6 +32,19 @@ class TestMetrics:
         assert out["rmse"].shape == (5,)
         npt.assert_allclose(np.asarray(out["bias"]), 1.0, rtol=1e-9)
 
+    def test_validation_report(self, rng):
+        t = rng.gamma(2.0, 3.0, (4, 300))
+        good = t + rng.normal(0, 0.1, t.shape)
+        bad = t * 1.5 + 2.0
+        rep = metrics.validation_report(
+            jnp.asarray(t), {"good": jnp.asarray(good), "bad": jnp.asarray(bad)},
+            wet_thresh=1.0,
+        )
+        assert list(rep.index) == ["good", "bad"]
+        assert {"bias", "rmse", "r2", "ks", "q95_bias", "wet_day_freq_bias"} <= set(rep.columns)
+        assert abs(rep.loc["good", "bias"]) < abs(rep.loc["bad", "bias"])
+        assert rep.loc["good", "ks"] < rep.loc["bad", "ks"]
+
     def test_energy_distance_brute_force(self, rng):
         """V-statistic energy distance vs a brute-force numpy evaluation."""
         x = rng.normal(size=(40, 3))
