@@ -394,6 +394,40 @@ class TestTemporalDisagg:
         july = out[np.asarray(out_index.month) == 7]
         npt.assert_allclose(july, 6.0, rtol=1e-9)  # uniform fallback
 
+    def test_matches_pandas_formulation(self, rng):
+        """Golden vs an independent pandas groupby formulation (the device
+        path is membership-matrix matmuls; pandas transforms are a different
+        code path entirely)."""
+        import pandas as pd
+
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        obs_index = pd.date_range("1981-01-01", "1983-12-31", freq="D")
+        obs = rng.normal(10.0, 3.0, len(obs_index))
+        monthly_index = pd.date_range("1982-01-01", "1982-12-31", freq="MS")
+        monthly = rng.normal(12.0, 2.0, 12)
+        out_index = pd.date_range("1982-01-01", "1982-12-31", freq="D")
+
+        got = np.asarray(
+            temporal_disaggregate(
+                monthly, monthly_index, obs, obs_index, out_index, kind="temperature"
+            )
+        )
+
+        s = pd.Series(obs, index=obs_index)
+        dev = s - s.groupby([obs_index.year, obs_index.month]).transform("mean")
+        pattern = dev.groupby(obs_index.dayofyear).mean()
+        base = pd.Series(
+            monthly[np.asarray(out_index.month) - 1] + pattern.loc[out_index.dayofyear].to_numpy(),
+            index=out_index,
+        )
+        # conservation: re-center each month on the monthly value
+        want = base + (
+            pd.Series(monthly, index=range(1, 13)).loc[out_index.month].to_numpy()
+            - base.groupby(out_index.month).transform("mean").to_numpy()
+        )
+        npt.assert_allclose(got, want.to_numpy(), rtol=1e-9, atol=1e-9)
+
     def test_bcsd_disaggregator_dataarray(self, rng):
         import pandas as pd
 
