@@ -58,7 +58,23 @@ from ..ops.interp import interp_rows
 from .base import SingleCellEstimator, asarray_2d
 from .quantile import _sort_with_positions, _unsort, edcdfm_predict, qmr_fit
 
-__all__ = ["mbcn_rotations", "mbcn_correct", "mbcn_grid", "MBCn"]
+__all__ = ["mbcn_rotations", "mbcn_correct", "mbcn_grid", "rank_reorder", "MBCn"]
+
+
+def rank_reorder(values, template):
+    """Schaake-shuffle-style reordering: permute each row of ``values`` so
+    its rank structure matches ``template``'s (both ``(..., n)``).
+
+    The output is an exact permutation of ``values`` per row — marginals are
+    untouched — with ``rank(out[i]) == rank(template[i])`` everywhere, the
+    standard trick for restoring spatial/temporal/cross-variable coherence
+    after independent univariate corrections (and MBCn's closing step).
+    Scatter-free: one row sort of ``values`` plus one payload sort pair on
+    ``template`` (a permutation's ascending sort is its inverse).
+    """
+    vs = jax.lax.sort(values, dimension=values.ndim - 1)
+    _, pos = _sort_with_positions(template)
+    return _unsort(vs, pos)
 
 
 def mbcn_rotations(d: int, n_iterations: int, random_state: int = 0) -> np.ndarray:
@@ -192,10 +208,7 @@ def mbcn_correct(
 
     # ---- step 3: reorder margins to the iterated ranks (scatter-free) --
     def reorder(margin_rows, z_fin):
-        zr = jnp.swapaxes(z_fin, -1, -2)
-        _, pos = _sort_with_positions(zr)
-        ms = jax.lax.sort(margin_rows, dimension=margin_rows.ndim - 1)
-        return jnp.swapaxes(_unsort(ms, pos), -1, -2)
+        return jnp.swapaxes(rank_reorder(margin_rows, jnp.swapaxes(z_fin, -1, -2)), -1, -2)
 
     return reorder(mh_rows, zh_fin), reorder(mf_rows, zf_fin)
 

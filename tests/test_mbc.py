@@ -70,6 +70,21 @@ class TestRankMap:
             npt.assert_array_equal(np.asarray(zs)[r], np.sort(z[r]))
 
 
+class TestRankReorder:
+    def test_permutation_with_template_ranks(self, rng):
+        from skdownscale_tpu.models.mbc import rank_reorder
+
+        v = rng.normal(size=(3, 40))
+        t = rng.normal(size=(3, 40))
+        out = np.asarray(rank_reorder(jnp.asarray(v), jnp.asarray(t)))
+        for r in range(3):
+            npt.assert_array_equal(np.sort(out[r]), np.sort(v[r]))  # permutation
+            npt.assert_array_equal(
+                np.argsort(np.argsort(out[r], kind="stable"), kind="stable"),
+                np.argsort(np.argsort(t[r], kind="stable"), kind="stable"),
+            )  # identical rank structure
+
+
 class TestMbcnCorrect:
     def test_margins_are_exact_qdm_multisets(self, problem):
         """The closing reorder step only permutes: each output column's
