@@ -58,7 +58,14 @@ from ..ops.interp import interp_rows
 from .base import SingleCellEstimator, asarray_2d
 from .quantile import _sort_with_positions, _unsort, edcdfm_predict, qmr_fit
 
-__all__ = ["mbcn_rotations", "mbcn_correct", "mbcn_grid", "rank_reorder", "MBCn"]
+__all__ = [
+    "mbcn_rotations",
+    "mbcn_correct",
+    "mbcn_correct_monthly",
+    "mbcn_grid",
+    "rank_reorder",
+    "MBCn",
+]
 
 
 def rank_reorder(values, template):
@@ -213,6 +220,65 @@ def mbcn_correct(
     return reorder(mh_rows, zh_fin), reorder(mf_rows, zf_fin)
 
 
+def mbcn_correct_monthly(
+    y_obs,
+    x_hist,
+    x_fut,
+    months_obs,
+    months_hist,
+    months_fut,
+    rotations,
+    *,
+    kinds,
+    extrapolate="both",
+    n_endpoints: int = 10,
+):
+    """Calendar-month-grouped MBCn (dependence structure often differs by
+    season — e.g. winter vs summer temperature/precipitation coupling).
+
+    ``months_*``: host int arrays (1..12) labelling each time step of the
+    corresponding block.  Each month's subsets run through
+    :func:`mbcn_correct` independently (the same rotation stack), and the
+    outputs are reassembled in time order scatter-free: concatenate in
+    group order, then one host inverse-permutation gather.  Months are
+    ragged across the calendar, so each distinct (n_m, m_m, p_m) triple
+    compiles its own program — at most 12.
+    """
+    months_obs = np.asarray(months_obs)
+    months_hist = np.asarray(months_hist)
+    months_fut = np.asarray(months_fut)
+    mset = sorted(set(months_fut.tolist()) | set(months_hist.tolist()))
+    missing = [m for m in mset if (m not in months_obs) or (m not in months_hist)]
+    if missing:
+        raise ValueError(f"months {missing} absent from the obs/hist records")
+
+    parts_h, parts_f, idx_h, idx_f = [], [], [], []
+    for m in mset:
+        so = np.nonzero(months_obs == m)[0]
+        sh = np.nonzero(months_hist == m)[0]
+        sf = np.nonzero(months_fut == m)[0]
+        oh, of = mbcn_correct(
+            jnp.take(y_obs, so, axis=-2),
+            jnp.take(x_hist, sh, axis=-2),
+            jnp.take(x_fut, sf, axis=-2),
+            rotations,
+            kinds=kinds,
+            extrapolate=extrapolate,
+            n_endpoints=n_endpoints,
+        )
+        parts_h.append(oh)
+        parts_f.append(of)
+        idx_h.append(sh)
+        idx_f.append(sf)
+
+    def assemble(parts, idx):
+        cat = jnp.concatenate(parts, axis=-2)
+        inv = np.argsort(np.concatenate(idx), kind="stable").astype(np.int32)
+        return jnp.take(cat, jnp.asarray(inv), axis=-2)
+
+    return assemble(parts_h, idx_h), assemble(parts_f, idx_f)
+
+
 def mbcn_grid(
     y_obs,
     x_hist,
@@ -334,6 +400,10 @@ class MBCn(SingleCellEstimator):
     kind : 'difference' / 'ratio' (all variables) or a sequence per column.
     extrapolate, n_endpoints : QDM margin CDF options (see
         ``QuantileMappingReressor``).
+    group : None (whole-series) or 'month' — run the transform per calendar
+        month (seasonal dependence structure); requires datetime-indexed
+        inputs (a monthly-from-1950 index is fabricated for raw arrays,
+        matching the zoo's convention).
     random_state : seed for the rotation stack.
     """
 
@@ -347,12 +417,14 @@ class MBCn(SingleCellEstimator):
         kind="difference",
         extrapolate="both",
         n_endpoints: int = 10,
+        group=None,
         random_state: int = 0,
     ):
         self.n_iterations = n_iterations
         self.kind = kind
         self.extrapolate = extrapolate
         self.n_endpoints = n_endpoints
+        self.group = group
         self.random_state = random_state
 
     def _kinds(self, d: int):
@@ -382,10 +454,15 @@ class MBCn(SingleCellEstimator):
                 "corrects the joint distribution of the same variable set"
             )
         self._kinds(xa.shape[1])  # validate early
+        if self.group not in (None, "month"):
+            raise ValueError(f"group must be None or 'month', got {self.group!r}")
         self.x_hist_ = np.asarray(xa, dtype=np.float64)
         self.y_obs_ = np.asarray(ya, dtype=np.float64)
         self.rotations_ = mbcn_rotations(xa.shape[1], int(self.n_iterations), int(self.random_state))
         self._columns = list(getattr(X, "columns", range(xa.shape[1])))
+        if self.group == "month":
+            self._months_hist = np.asarray(self._time_index(X).month)
+            self._months_obs = np.asarray(self._time_index(y).month)
         return self
 
     def predict(self, X):
@@ -398,15 +475,30 @@ class MBCn(SingleCellEstimator):
                 "transform has no per-component masking — drop those rows "
                 "(grids: mbcn_grid masks whole cells)"
             )
-        _, out = mbcn_correct(
-            jnp.asarray(self.y_obs_),
-            jnp.asarray(self.x_hist_),
-            jnp.asarray(xa),
-            self.rotations_,
+        common = dict(
             kinds=self._kinds(xa.shape[1]),
             extrapolate=self.extrapolate,
             n_endpoints=self.n_endpoints,
         )
+        if self.group == "month":
+            _, out = mbcn_correct_monthly(
+                jnp.asarray(self.y_obs_),
+                jnp.asarray(self.x_hist_),
+                jnp.asarray(xa),
+                self._months_obs,
+                self._months_hist,
+                np.asarray(self._time_index(X).month),
+                self.rotations_,
+                **common,
+            )
+        else:
+            _, out = mbcn_correct(
+                jnp.asarray(self.y_obs_),
+                jnp.asarray(self.x_hist_),
+                jnp.asarray(xa),
+                self.rotations_,
+                **common,
+            )
         out = np.asarray(out)
         index = getattr(X, "index", None)
         if index is not None and hasattr(X, "columns"):

@@ -227,6 +227,71 @@ class TestMBCnClass:
             m.predict(fbad)
 
 
+class TestMonthlyGrouping:
+    def test_grouped_equals_per_month_loop(self, rng):
+        import pandas as pd
+
+        from skdownscale_tpu.models.mbc import mbcn_correct, mbcn_correct_monthly, mbcn_rotations
+
+        oi = pd.date_range("1981-01-01", "1983-12-31", freq="D")
+        hi = pd.date_range("1984-01-01", "1986-12-31", freq="D")
+        fi = pd.date_range("2050-01-01", "2051-12-31", freq="D")
+        d = 2
+        y = rng.normal(0, 1, (len(oi), d))
+        xh = rng.normal(1, 1.5, (len(hi), d))
+        xf = rng.normal(1.2, 1.5, (len(fi), d))
+        R = mbcn_rotations(d, 5, 0)
+        mo, mh, mf = (np.asarray(i.month) for i in (oi, hi, fi))
+        oh, of = mbcn_correct_monthly(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf), mo, mh, mf, R,
+            kinds=("difference",) * d,
+        )
+        for m in (1, 7, 12):
+            want_h, want_f = mbcn_correct(
+                jnp.asarray(y[mo == m]), jnp.asarray(xh[mh == m]), jnp.asarray(xf[mf == m]),
+                R, kinds=("difference",) * d,
+            )
+            npt.assert_allclose(np.asarray(oh)[mh == m], np.asarray(want_h), rtol=1e-12)
+            npt.assert_allclose(np.asarray(of)[mf == m], np.asarray(want_f), rtol=1e-12)
+
+    def test_grouped_recovers_seasonal_dependence(self, rng):
+        """Obs correlation flips sign between winter and summer; grouped MBCn
+        recovers the per-season sign, whole-series MBCn cannot."""
+        import pandas as pd
+
+        from skdownscale_tpu.models.mbc import MBCn
+
+        idx = pd.date_range("1980-01-01", "1995-12-31", freq="D")
+        months = np.asarray(idx.month)
+        rho = np.where(np.isin(months, (12, 1, 2)), 0.8, np.where(np.isin(months, (6, 7, 8)), -0.8, 0.0))
+        z1 = rng.standard_normal(len(idx))
+        z2 = rho * z1 + np.sqrt(1 - rho**2) * rng.standard_normal(len(idx))
+        obs = pd.DataFrame({"a": z1, "b": z2}, index=idx)
+        xh = pd.DataFrame(rng.standard_normal((len(idx), 2)) + 1.0, columns=["a", "b"], index=idx)
+        m = MBCn(n_iterations=12, group="month", random_state=0).fit(xh, obs)
+        out = m.predict(xh)
+        djf = np.isin(months, (12, 1, 2))
+        jja = np.isin(months, (6, 7, 8))
+        c_djf = np.corrcoef(out["a"][djf], out["b"][djf])[0, 1]
+        c_jja = np.corrcoef(out["a"][jja], out["b"][jja])[0, 1]
+        assert c_djf > 0.6 and c_jja < -0.6
+
+    def test_missing_month_raises(self, rng):
+        import pandas as pd
+
+        from skdownscale_tpu.models.mbc import mbcn_correct_monthly, mbcn_rotations
+
+        oi = pd.date_range("1981-01-01", "1981-06-30", freq="D")  # Jan-Jun only
+        fi = pd.date_range("2050-07-01", "2050-07-31", freq="D")  # July
+        y = rng.normal(0, 1, (len(oi), 2))
+        with pytest.raises(ValueError, match="absent"):
+            mbcn_correct_monthly(
+                jnp.asarray(y), jnp.asarray(y), jnp.asarray(rng.normal(0, 1, (len(fi), 2))),
+                np.asarray(oi.month), np.asarray(oi.month), np.asarray(fi.month),
+                mbcn_rotations(2, 3, 0), kinds=("difference", "difference"),
+            )
+
+
 class TestMbcnGrid:
     def _grids(self, rng, ny=3, nx=4, tm=180, to=200, tf=150):
         from skdownscale_tpu.xlite import DataArray, Dataset
