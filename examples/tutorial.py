@@ -17,7 +17,9 @@ diagnostic artifacts on disk:
    ``examples/output/tutorial_bias_map.png``;
 5. correct wind speeds with ``ZScoreRegressor`` (two diagnostic figures);
 6. temporally disaggregate the corrected monthly grid to daily with
-   ``bcsd_disaggregator`` (``examples/output/tutorial_disagg.png``).
+   ``bcsd_disaggregator`` (``examples/output/tutorial_disagg.png``);
+7. correct tmax and pr jointly with ``MBCn`` (multivariate, beyond
+   reference parity), checked with the energy distance.
 
 Run: python examples/tutorial.py   (~1 min on CPU; figures need matplotlib)
 """
@@ -193,6 +195,37 @@ def main():
     path = os.path.join(OUT_DIR, "tutorial_disagg.png")
     fig.savefig(path, dpi=110, bbox_inches="tight")
     print(f"saved disaggregation figure -> {path}")
+
+    # ------------------------------------------------------------------
+    # 7. multivariate: correct tmax and pr JOINTLY with MBCn (the
+    #    univariate zoo leaves cross-variable dependence uncorrected)
+    # ------------------------------------------------------------------
+    import jax.numpy as jnp
+
+    from skdownscale_tpu.utils.metrics import energy_distance
+
+    mb_rng = np.random.default_rng(7)
+
+    def make_tp(index, corr_tp, t_bias=0.0, p_scale=1.0):
+        n, mdoy = len(index), np.asarray(index.dayofyear)
+        L = np.linalg.cholesky(np.array([[1.0, corr_tp], [corr_tp, 1.0]]))
+        zz = mb_rng.standard_normal((n, 2)) @ L.T
+        return pd.DataFrame({
+            "tmax": 285 + 10 * np.sin(2 * np.pi * mdoy / 365.25) + 3 * zz[:, 0] + t_bias,
+            "pr": np.maximum(0.05, np.exp(0.8 * zz[:, 1]) * p_scale),
+        }, index=index)
+
+    obs_tp = make_tp(pd.date_range("1980-01-01", "1999-12-31", freq="D"), -0.6, 0.0, 2.0)
+    hist_tp = make_tp(pd.date_range("1980-01-01", "1999-12-31", freq="D"), -0.1, 2.0, 3.0)
+    fut_tp = make_tp(pd.date_range("2050-01-01", "2069-12-31", freq="D"), -0.1, 2.8, 3.2)
+    mb = sdt.MBCn(n_iterations=25, kind=("difference", "ratio"), random_state=0)
+    corrected_tp = mb.fit(hist_tp, obs_tp).predict(fut_tp)
+    for name, df in [("obs", obs_tp), ("raw future", fut_tp), ("MBCn future", corrected_tp)]:
+        c = float(np.corrcoef(df["tmax"], df["pr"])[0, 1])
+        e = float(energy_distance(
+            jnp.asarray(df.to_numpy()[::5]), jnp.asarray(obs_tp.to_numpy()[::5])
+        ))
+        print(f"  MBCn panel {name:12s} tmax-pr corr {c:+.3f}  energy dist {e:.3f}")
 
 
 if __name__ == "__main__":
