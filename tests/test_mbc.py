@@ -85,6 +85,40 @@ class TestRankReorder:
             )  # identical rank structure
 
 
+class TestRankMapProperty:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=2, max_value=200),
+        m=st.integers(min_value=2, max_value=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        quantize=st.booleans(),
+    )
+    def test_rank_map_matches_np_interp(self, n, m, seed, quantize):
+        """Property: for any (n, m) and any data (incl. heavy ties), the
+        static rank-bracket map equals np.interp on the Cunnane grids."""
+        from skdownscale_tpu.models.mbc import _qm_rows_by_rank, _rank_bracket
+
+        r = np.random.default_rng(seed)
+        z = r.normal(0, 3, n)
+        y = r.normal(1, 2, m)
+        if quantize:
+            z, y = np.round(z), np.round(y)
+        lo, hi, w = _rank_bracket(n, m, 0.4, 0.4)
+        ys = jnp.sort(jnp.asarray(y)[None, :], axis=-1)
+        mapped, _, _ = _qm_rows_by_rank(
+            jnp.asarray(z)[None, :], ys, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w)
+        )
+        pp_n = (np.arange(1, n + 1) - 0.4) / (n + 0.2)
+        pp_m = (np.arange(1, m + 1) - 0.4) / (m + 0.2)
+        expect_sorted = np.interp(pp_n, pp_m, np.sort(y))
+        order = np.argsort(z, kind="stable")
+        expect = np.empty(n)
+        expect[order] = expect_sorted
+        npt.assert_allclose(np.asarray(mapped)[0], expect, rtol=1e-10, atol=1e-12)
+
+
 class TestMbcnCorrect:
     def test_margins_are_exact_qdm_multisets(self, problem):
         """The closing reorder step only permutes: each output column's
