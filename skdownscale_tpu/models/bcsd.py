@@ -65,7 +65,27 @@ __all__ = [
 def _pandas_partition(index, grouper) -> PaddedGroups:
     """Partition a time axis with any pandas-compatible grouper (callable,
     ``pd.Grouper``, ...) by running the groupby on host, mirroring
-    ``df.groupby(self.time_grouper)`` (``bcsd.py:49``)."""
+    ``df.groupby(self.time_grouper)`` (``bcsd.py:49``).
+
+    A ``TimeIndex`` (non-pandas climate calendars: noleap/360_day/...) is
+    partitioned directly: callable groupers are applied to the TimeIndex
+    itself (``MONTH_GROUPER``/``DAY_GROUPER`` read the vectorized ``.month``
+    / ``.day``), and month-resample strings ('M'/'MS'/'ME') group by
+    calendar month.  Fit and predict must then both use TimeIndex (keys are
+    plain ints, not pandas Periods).
+    """
+    if isinstance(index, TimeIndex):
+        if callable(grouper):
+            vals = np.asarray(grouper(index))
+        elif isinstance(grouper, str) and grouper in ("M", "MS", "ME"):
+            vals = np.asarray(index.month)
+        else:
+            raise TypeError(
+                f"grouper {grouper!r} requires a pandas DatetimeIndex; with a "
+                "TimeIndex use a callable (e.g. MONTH_GROUPER) or 'M'"
+            )
+        keys, labels = np.unique(vals, return_inverse=True)
+        return PaddedGroups.from_labels(labels.astype(np.int32), keys)
     import pandas as pd
 
     s = pd.Series(np.arange(len(index)), index=index)
@@ -608,7 +628,7 @@ class BcsdBase(SingleCellEstimator):
     # -- host-side group resolution ------------------------------------
     def _fit_groups(self, index) -> PaddedGroups:
         if self._timestep_kind == "daily":
-            return padded_doy_groups(TimeIndex.from_pandas(index), offset=15)
+            return padded_doy_groups(TimeIndex.from_any(index), offset=15)
         return _pandas_partition(index, self.time_grouper)
 
     def _predict_plan(self, fit_groups: PaddedGroups, index) -> _PredictPlan:

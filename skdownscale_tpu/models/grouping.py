@@ -81,7 +81,7 @@ class PaddedDOYGrouper:
     def __init__(self, index, window: int):
         self.index = index
         self.window = window
-        pg = doy_band_groups(TimeIndex.from_pandas(index), window)
+        pg = doy_band_groups(TimeIndex.from_any(index), window)
         self._groups = {
             int(k): pg.indices[g, : pg.counts[g]].astype(np.intp)
             for g, k in enumerate(pg.keys)

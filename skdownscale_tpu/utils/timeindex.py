@@ -83,6 +83,76 @@ class TimeIndex:
         return cls.from_pandas(index)
 
     @classmethod
+    def from_components(cls, year, month, day, calendar: str = "standard") -> "TimeIndex":
+        """Build from integer (year, month, day) arrays under a climate
+        calendar — the escape hatch for GCM records pandas cannot represent
+        (cftime 'noleap'/'365_day', '360_day', 'all_leap'); the reference is
+        pandas-only, so this is beyond-parity surface.
+
+        ``calendar``: 'standard' (proleptic Gregorian leap rule), 'noleap'
+        (a.k.a. '365_day'), 'all_leap' ('366_day'), or '360_day' (twelve
+        30-day months).
+        """
+        year = np.asarray(year, dtype=np.int32)
+        month = np.asarray(month, dtype=np.int32)
+        day = np.asarray(day, dtype=np.int32)
+        cal = {"365_day": "noleap", "366_day": "all_leap"}.get(calendar, calendar)
+        if cal not in ("standard", "noleap", "all_leap", "360_day"):
+            raise ValueError(f"unknown calendar: {calendar!r}")
+        if cal == "360_day":
+            doy = (month - 1) * 30 + day
+            leap = np.zeros(len(year), dtype=bool)
+        else:
+            base = np.asarray([0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334], np.int32)
+            doy = base[month - 1] + day
+            if cal == "standard":
+                leap = (year % 4 == 0) & ((year % 100 != 0) | (year % 400 == 0))
+            elif cal == "all_leap":
+                leap = np.ones(len(year), dtype=bool)
+            else:  # noleap
+                leap = np.zeros(len(year), dtype=bool)
+            doy = doy + (leap & (month > 2)).astype(np.int32)
+        return cls(month=month, day=day, dayofyear=doy.astype(np.int32), year=year, is_leap_year=leap)
+
+    @classmethod
+    def range_daily(cls, n: int, start_year: int = 1950, calendar: str = "noleap") -> "TimeIndex":
+        """Sequential daily index of length ``n`` from Jan 1 of ``start_year``
+        under a climate calendar (see :meth:`from_components`)."""
+        cal = {"365_day": "noleap", "366_day": "all_leap"}.get(calendar, calendar)
+        if cal == "360_day":
+            month_days = lambda y: np.full(12, 30, np.int32)
+        else:
+            base = np.asarray([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31], np.int32)
+
+            def month_days(y):
+                md = base.copy()
+                if cal == "all_leap" or (
+                    cal == "standard" and (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0))
+                ):
+                    md[1] = 29
+                return md
+
+        years, months, days = [], [], []
+        y = int(start_year)
+        remaining = int(n)
+        while remaining > 0:
+            md = month_days(y)
+            for m in range(12):
+                k = min(int(md[m]), remaining)
+                if k <= 0:
+                    break
+                years.append(np.full(k, y, np.int32))
+                months.append(np.full(k, m + 1, np.int32))
+                days.append(np.arange(1, k + 1, dtype=np.int32))
+                remaining -= k
+                if remaining == 0:
+                    break
+            y += 1
+        return cls.from_components(
+            np.concatenate(years), np.concatenate(months), np.concatenate(days), calendar=cal
+        )
+
+    @classmethod
     def synthetic_monthly(cls, n: int, start: str = "1950") -> "TimeIndex":
         """Fabricated monthly index, mirroring the reference's fallback
         (``base.py:22``: ``pd.date_range(periods=len(X), start='1950', freq='MS')``).
