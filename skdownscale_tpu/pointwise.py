@@ -57,12 +57,21 @@ def _is_dask_backed(X):
 
 
 def _time_index(coord, n):
-    """Convert a time coordinate to a pandas DatetimeIndex when possible."""
+    """Convert a time coordinate to a pandas DatetimeIndex when possible.
+
+    A ``utils.timeindex.TimeIndex`` coord (non-pandas climate calendars)
+    passes through untouched — the batched registry and the BCSD group
+    builders consume it directly.
+    """
     import pandas as pd
+
+    from .utils.timeindex import TimeIndex
 
     if coord is None:
         warnings.warn("X does not have a time coordinate, making one up...")
         return pd.date_range(start="1950", periods=n, freq="MS")
+    if isinstance(coord, TimeIndex):
+        return coord
     try:
         return pd.DatetimeIndex(np.asarray(coord))
     except (TypeError, ValueError):
@@ -276,7 +285,13 @@ class PointWiseDownscaler:
                     f"X and y grids do not align: X has {px['T']} time steps x "
                     f"{px['n_cells']} cells, y has {py['T']} x {py['n_cells']}"
                 )
-            if not np.array_equal(np.asarray(px["index"]), np.asarray(py["index"])):
+            from .utils.timeindex import TimeIndex as _TI
+
+            if isinstance(px["index"], _TI) or isinstance(py["index"], _TI):
+                same = px["index"] == py["index"]  # TimeIndex defines __eq__
+            else:
+                same = np.array_equal(np.asarray(px["index"]), np.asarray(py["index"]))
+            if not same:
                 # reference estimators assert X/y index equality (base.py:17)
                 raise ValueError("X and y must share an identical time index")
 

@@ -130,6 +130,31 @@ class TestCalendarBcsd:
 
         npt.assert_array_equal(run(ti), run(idx))
 
+    def test_pointwise_runner_accepts_timeindex_coord(self, rng):
+        """PointWiseDownscaler on a grid whose time coord is a 360-day
+        TimeIndex — the full batched runner path, no pandas anywhere."""
+        import skdownscale_tpu as sdt
+        from skdownscale_tpu.xlite import DataArray
+
+        ti = TimeIndex.range_daily(2 * 360, start_year=2000, calendar="360_day")
+        ny, nx = 2, 3
+        seas = 8 * np.sin(2 * np.pi * (np.asarray(ti.dayofyear) - 1) / 360.0)
+        gcm = 283 + seas[:, None, None] + rng.normal(0, 2, (len(ti), ny, nx)) + 1.0
+        obs = 282 + seas[:, None, None] + rng.normal(0, 1.5, (len(ti), ny, nx))
+        gcm[:, 0, 0] = np.nan
+        obs[:, 0, 0] = np.nan
+        coords = {"time": ti, "y": np.arange(ny), "x": np.arange(nx)}
+        Xg = DataArray(gcm, ("time", "y", "x"), coords)
+        Yg = DataArray(obs, ("time", "y", "x"), coords)
+        d = sdt.PointWiseDownscaler(
+            sdt.BcsdTemperature(time_grouper="daily_nasa-nex", return_anoms=False)
+        )
+        d.fit(Xg, Yg)
+        out = np.asarray(d.predict(Xg).values)
+        assert out.shape == gcm.shape
+        assert np.isnan(out[:, 0, 0]).all()
+        assert np.isfinite(out[:, 1:, :]).all() or np.isfinite(out[:, :, 1:]).all()
+
     def test_unsupported_grouper_with_timeindex_raises(self):
         from skdownscale_tpu.models.bcsd import _pandas_partition
 
