@@ -155,6 +155,25 @@ class TestCalendarBcsd:
         assert np.isnan(out[:, 0, 0]).all()
         assert np.isfinite(out[:, 1:, :]).all() or np.isfinite(out[:, :, 1:]).all()
 
+    def test_temporal_disaggregate_on_360_day(self, rng):
+        """Monthly->daily disaggregation under a 360-day calendar (TimeIndex
+        everywhere; explicit out_index since pandas can't span it)."""
+        from skdownscale_tpu.utils.disagg import temporal_disaggregate
+
+        obs_ti = TimeIndex.range_daily(2 * 360, start_year=1980, calendar="360_day")
+        out_ti = TimeIndex.range_daily(360, start_year=1990, calendar="360_day")
+        m_ti = TimeIndex.from_components(
+            np.full(12, 1990), np.arange(1, 13), np.ones(12, np.int32), calendar="360_day"
+        )
+        obs = rng.gamma(2.0, 3.0, len(obs_ti))
+        monthly = rng.gamma(2.0, 3.0, 12) + 0.5
+        out = np.asarray(
+            temporal_disaggregate(monthly, m_ti, obs, obs_ti, out_ti, kind="precipitation")
+        )
+        assert out.shape == (360,) and np.isfinite(out).all()
+        for m in range(12):
+            npt.assert_allclose(out[m * 30 : (m + 1) * 30].mean(), monthly[m], rtol=1e-9)
+
     def test_unsupported_grouper_with_timeindex_raises(self):
         from skdownscale_tpu.models.bcsd import _pandas_partition
 
