@@ -257,19 +257,28 @@ def mbcn_correct_monthly(
         so = np.nonzero(months_obs == m)[0]
         sh = np.nonzero(months_hist == m)[0]
         sf = np.nonzero(months_fut == m)[0]
+        # a month in hist but absent from fut still contributes hist output;
+        # feed one dummy fut row (hist's first step) and discard it
+        fut_empty = len(sf) == 0
+        xf_m = jnp.take(
+            x_fut if not fut_empty else x_hist,
+            sf if not fut_empty else sh[: min(len(sh), 8)],
+            axis=-2,
+        )
         oh, of = mbcn_correct(
             jnp.take(y_obs, so, axis=-2),
             jnp.take(x_hist, sh, axis=-2),
-            jnp.take(x_fut, sf, axis=-2),
+            xf_m,
             rotations,
             kinds=kinds,
             extrapolate=extrapolate,
             n_endpoints=n_endpoints,
         )
         parts_h.append(oh)
-        parts_f.append(of)
         idx_h.append(sh)
-        idx_f.append(sf)
+        if not fut_empty:
+            parts_f.append(of)
+            idx_f.append(sf)
 
     def assemble(parts, idx):
         cat = jnp.concatenate(parts, axis=-2)
@@ -290,6 +299,7 @@ def mbcn_grid(
     extrapolate="both",
     n_endpoints: int = 10,
     random_state: int = 0,
+    group=None,
     cell_chunk_size: int | None = None,
     sharding=None,
 ):
@@ -339,6 +349,15 @@ def mbcn_grid(
     out_h = np.full_like(xh, np.nan)
     out_f = np.full_like(xf, np.nan)
     step = len(ids) if not cell_chunk_size else int(cell_chunk_size)
+    if group not in (None, "month"):
+        raise ValueError(f"group must be None or 'month', got {group!r}")
+    if group == "month":
+        from ..utils.timeindex import TimeIndex
+
+        def _months(ds):
+            return np.asarray(TimeIndex.from_any(ds[variables[0]].coords["time"]).month)
+
+        months_y, months_h, months_f = _months(y_obs), _months(x_hist), _months(x_fut)
     if sharding is not None:
         axis0 = sharding.spec[0]
         mult = int(sharding.mesh.shape[axis0]) if axis0 is not None else 1
@@ -355,9 +374,15 @@ def mbcn_grid(
             if sharding is not None:
                 b = jax.device_put(b, sharding)
             blocks.append(b)
-        oh, of = mbcn_correct(
-            *blocks, rots, kinds=kinds, extrapolate=extrapolate, n_endpoints=n_endpoints
-        )
+        if group == "month":
+            oh, of = mbcn_correct_monthly(
+                *blocks, months_y, months_h, months_f, rots,
+                kinds=kinds, extrapolate=extrapolate, n_endpoints=n_endpoints,
+            )
+        else:
+            oh, of = mbcn_correct(
+                *blocks, rots, kinds=kinds, extrapolate=extrapolate, n_endpoints=n_endpoints
+            )
         out_h[sel] = np.asarray(oh)[: len(sel)]
         out_f[sel] = np.asarray(of)[: len(sel)]
 

@@ -389,6 +389,28 @@ class TestMbcnGrid:
                 np.asarray(of1[v].values), np.asarray(of0[v].values), rtol=1e-9, atol=1e-12
             )
 
+    def test_grid_monthly_grouping(self, rng):
+        from skdownscale_tpu.models.mbc import mbcn_correct_monthly, mbcn_grid, mbcn_rotations
+
+        y, xh, xf = self._grids(rng, tm=360, to=365, tf=180)
+        oh, of = mbcn_grid(y, xh, xf, n_iterations=3, group="month")
+        # one valid cell equals the grouped core directly
+        def cell(ds, yy, xx):
+            return np.stack(
+                [np.asarray(ds[v].values)[:, yy, xx] for v in ("tmax", "pr")], axis=-1
+            )
+        import pandas as pd
+
+        mo = np.asarray(pd.DatetimeIndex(y["tmax"].coords["time"]).month)
+        mh = np.asarray(pd.DatetimeIndex(xh["tmax"].coords["time"]).month)
+        mf = np.asarray(pd.DatetimeIndex(xf["tmax"].coords["time"]).month)
+        want_h, want_f = mbcn_correct_monthly(
+            jnp.asarray(cell(y, 1, 2)), jnp.asarray(cell(xh, 1, 2)), jnp.asarray(cell(xf, 1, 2)),
+            mo, mh, mf, mbcn_rotations(2, 3, 0), kinds=("difference", "difference"),
+        )
+        npt.assert_allclose(cell(oh, 1, 2), np.asarray(want_h), rtol=1e-9, atol=1e-10)
+        npt.assert_allclose(cell(of, 1, 2), np.asarray(want_f), rtol=1e-9, atol=1e-10)
+
     def test_grid_shape_mismatch_raises(self, rng):
         from skdownscale_tpu.models.mbc import mbcn_grid
 
