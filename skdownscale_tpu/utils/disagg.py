@@ -24,12 +24,50 @@ from skdownscale_tpu.utils.timeindex import TimeIndex
 
 __all__ = [
     "interp_to_fine",
+    "regrid_weights_1d",
+    "regrid_separable",
     "apply_climatology",
     "spatial_disaggregate",
     "temporal_disaggregate",
     "bcsd_disaggregator",
     "daily_index_for_months",
 ]
+
+
+def regrid_weights_1d(src_coords, dst_coords) -> np.ndarray:
+    """Host ``(D, S)`` linear-interpolation weight matrix along one axis.
+
+    Row ``i`` holds the two bracketing weights of ``dst_coords[i]`` in the
+    strictly-increasing ``src_coords`` (np.interp semantics: clamp beyond
+    the ends).  Rows sum to 1, so applying the matrix is a mean-preserving
+    MXU matmul — the coordinate-aware alternative to ``jax.image.resize``
+    for non-uniform grids (real latitude spacings, Gaussian grids).
+    """
+    src = np.asarray(src_coords, dtype=np.float64)
+    dst = np.asarray(dst_coords, dtype=np.float64)
+    if src.ndim != 1 or len(src) < 2 or (np.diff(src) <= 0).any():
+        raise ValueError("src_coords must be 1-D, length >= 2, strictly increasing")
+    hi = np.clip(np.searchsorted(src, dst, side="left"), 1, len(src) - 1)
+    lo = hi - 1
+    w = (dst - src[lo]) / (src[hi] - src[lo])
+    w = np.clip(w, 0.0, 1.0)
+    out = np.zeros((len(dst), len(src)), dtype=np.float64)
+    rows = np.arange(len(dst))
+    out[rows, lo] = 1.0 - w
+    out[rows, hi] += w
+    return out
+
+
+@jax.jit
+def regrid_separable(data, wy, wx):
+    """Coordinate-based bilinear regrid of (..., ny, nx) fields: two
+    separable matmuls ``wy @ data @ wx.T`` batched over leading dims (the
+    weights come from :func:`regrid_weights_1d` per axis; rows sum to 1)."""
+    data = jnp.asarray(data)
+    wy = jnp.asarray(wy, data.dtype)
+    wx = jnp.asarray(wx, data.dtype)
+    tmp = jnp.einsum("...yx,Xx->...yX", data, wx)
+    return jnp.einsum("...yX,Yy->...YX", tmp, wy)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "method", "nan_aware"))

@@ -276,6 +276,35 @@ class TestDisagg:
         out2 = np.asarray(spatial_disaggregate(const, climo, months, kind="temperature"))
         npt.assert_allclose(out2, climo[months] + 1.5, rtol=1e-6)
 
+    def test_regrid_weights_match_np_interp(self, rng):
+        from skdownscale_tpu.utils.disagg import regrid_weights_1d
+
+        src = np.sort(rng.uniform(-90, 90, 14))
+        dst = rng.uniform(-100, 100, 31)  # includes out-of-range (clamp)
+        w = regrid_weights_1d(src, dst)
+        npt.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-12)
+        f = rng.normal(size=14)
+        npt.assert_allclose(w @ f, np.interp(dst, src, f), rtol=1e-12)
+        with pytest.raises(ValueError, match="strictly increasing"):
+            regrid_weights_1d(src[::-1], dst)
+
+    def test_regrid_separable_exact_on_linear_fields(self, rng):
+        from skdownscale_tpu.utils.disagg import regrid_separable, regrid_weights_1d
+
+        ys = np.sort(rng.uniform(0, 10, 7))
+        xs = np.sort(rng.uniform(0, 10, 9))
+        Yd = np.linspace(ys[0], ys[-1], 19)
+        Xd = np.linspace(xs[0], xs[-1], 23)
+        wy = regrid_weights_1d(ys, Yd)
+        wx = regrid_weights_1d(xs, Xd)
+        # a bilinear function is reproduced exactly by linear regridding
+        f = 2.0 + 0.3 * ys[:, None] - 0.7 * xs[None, :] + 0.05 * ys[:, None] * xs[None, :]
+        data = np.stack([f, 2 * f])  # leading batch dim
+        out = np.asarray(regrid_separable(data, wy, wx))
+        want = 2.0 + 0.3 * Yd[:, None] - 0.7 * Xd[None, :] + 0.05 * Yd[:, None] * Xd[None, :]
+        npt.assert_allclose(out[0], want, rtol=1e-6)
+        npt.assert_allclose(out[1], 2 * want, rtol=1e-6)
+
     def test_interp_to_fine_nan_aware(self, rng):
         from skdownscale_tpu.utils.disagg import interp_to_fine
 
