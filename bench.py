@@ -277,7 +277,7 @@ def bench_reference(n_cells=8, n_time=480):
     return n_cells / dt
 
 
-def bench_zscore(n_cells=65536, n_years=20, n_iters=3, window=31):
+def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31):
     """Day-of-year z-score bias correction over a grid (ZScoreRegressor):
     fit = (year, doy) gather + pooled 31-day windowed masked stats; predict =
     centered rolling mean/std + affine correction.  All convolutions and
@@ -386,8 +386,27 @@ def bench_qdm(n_cells=16384, n_fit=3650, n_predict=None, n_iters=2):
 def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
     """Multivariate MBCn (beyond parity): 10y daily, d variables, n_rot
     rotation rounds over the cell batch in one scan program.  Returns
-    (cells/s, wall, bytes-accessed) — the workload is sort-bound (3-4 row
-    sorts per variable per rotation), so HBM roofline is the honest bound."""
+    (cells/s, wall, bytes-accessed, sort_bound_s, util_vs_bound).
+
+    The workload is ``lax.sort``-bound, not HBM-bound: each rotation's scan
+    step sorts the rotated obs (m keys/row), payload-sorts the rotated hist
+    with positions and un-sorts the mapped values (4n/row), and sort-merge
+    interps the future series into the (sorted hist -> mapped) table
+    (``ops.interp.interp_sortmerge``: a 4-operand merge sort plus a
+    6-operand un-sort over n+p columns).  XLA's bytes-accessed therefore
+    wildly understates the real cost (sorting networks re-touch operands
+    ~log^2 L times inside one fusion), so instead of hbm_util this config
+    reports ``sort_bound_s`` — the counted operand-elements through
+    ``lax.sort`` divided by a sort rate MEASURED on-chip on a representative
+    multi-payload sort of the same shape class — and the achieved fraction.
+    Rejected levers (measured/analyzed): hoisting the rotated-obs sorts out
+    of the scan moves work but removes none (the bench times one full
+    correct() call); a Pallas bitonic *merge* for the pre-sorted halves
+    would cut only ~1.5x on one of five sort stages (full in-VMEM bitonic
+    already measured 2.8x SLOWER than lax.sort, ROUND_NOTES r3 #4); the
+    rank-counting kernel is O(Lq^2) VPU work — ~5x more ops than the merge
+    sort at Lq=3650 (it wins only on short query rows like the BCSD
+    group-quantile maps)."""
     import jax
     import jax.numpy as jnp
 
@@ -416,7 +435,35 @@ def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     nbytes = _bytes_accessed(fn.lower(yd, xhd, xfd).compile())
-    return n_cells / dt, dt, nbytes
+
+    # ---- measured lax.sort bound ----------------------------------------
+    # operand-elements through lax.sort per correct() call (counted from the
+    # algorithm; payload operands counted 1:1 with keys):
+    n = m = p = n_time
+    rows = n_cells * d
+    units = rows * (
+        (n + m + 4 * n + 4 * p)          # QDM margins (fit sorts + 2 identity predicts)
+        + n_rot * (m + 4 * n + 10 * (n + p))  # scan: ys + rank map + sortmerge interp
+        + 5 * n + 5 * p                   # closing rank_reorder (hist + fut)
+    )
+    # measured rate on a representative 4-operand payload sort of the same
+    # shape class as the dominant sortmerge stage
+    keys = jax.device_put(
+        np.random.default_rng(1).standard_normal((rows, n + p)).astype(np.float32)
+    )
+    pay = jnp.zeros(keys.shape, jnp.int32)
+    sortj = jax.jit(
+        lambda k, q: jax.lax.sort((k, q, q, q), num_keys=1, is_stable=True, dimension=1)[0]
+    )
+    float(jnp.sum(sortj(keys, pay)))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(sortj(keys, pay)))
+        ts.append(time.perf_counter() - t0)
+    rate = rows * (n + p) * 4 / min(ts)  # operand-elements / s
+    sort_bound_s = units / rate
+    return n_cells / dt, dt, nbytes, sort_bound_s, sort_bound_s / dt
 
 
 # v5e per-chip peaks used for the GARD kernel bounds (VERDICT r2 #4):
@@ -608,7 +655,11 @@ def main():
         )
         return
     if model == "zscore":
-        n = n_cells if len(sys.argv) > 1 else 65536
+        # 32k/pass: fit materializes several (cells, years, 368) buffers and
+        # predict several (cells, 7305) rolling planes — 65k measured
+        # ResourceExhausted on the 16 GB chip.  Larger grids chunk via the
+        # batched registry / cell_chunk_size.
+        n = n_cells if len(sys.argv) > 1 else 32768
         cps, dt, nbytes, ref_cps = bench_zscore(n_cells=n)
         bw = _device_peak_bw()
         hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
@@ -627,9 +678,7 @@ def main():
         return
     if model == "mbcn":
         n = n_cells if len(sys.argv) > 1 else 2048
-        cps, dt, nbytes = bench_mbcn(n_cells=n)
-        bw = _device_peak_bw()
-        hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
+        cps, dt, nbytes, sort_bound_s, util = bench_mbcn(n_cells=n)
         print(
             json.dumps(
                 {
@@ -639,7 +688,9 @@ def main():
                     " hist+fut corrected)",
                     "vs_baseline": None,  # no reference counterpart exists
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
-                    "hbm_util": None if hbm_util is None else round(hbm_util, 3),
+                    "sort_bound_s": round(sort_bound_s, 4),
+                    "binding": "lax.sort",
+                    "util_vs_bound": round(util, 3),
                 }
             )
         )
