@@ -51,13 +51,11 @@ def _bankers(v: float) -> int:
 def _trailing_corr2(x, y, width: int):
     """r² of the trailing ``width`` window ending at each index."""
     w = float(width)
-    ones = jnp.ones_like(x)
     sx = _window_sum(x, width, center=False)
     sy = _window_sum(y, width, center=False)
     sxx = _window_sum(x * x, width, center=False)
     syy = _window_sum(y * y, width, center=False)
     sxy = _window_sum(x * y, width, center=False)
-    del ones
     cov = w * sxy - sx * sy
     vx = w * sxx - sx * sx
     vy = w * syy - sy * sy
