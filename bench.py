@@ -386,7 +386,8 @@ def bench_qdm(n_cells=16384, n_fit=3650, n_predict=None, n_iters=2):
 def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
     """Multivariate MBCn (beyond parity): 10y daily, d variables, n_rot
     rotation rounds over the cell batch in one scan program.  Returns
-    (cells/s, wall, bytes-accessed, sort_bound_s, util_vs_bound).
+    (cells/s, wall, bytes-accessed, sort_bound_s, util_vs_bound, ref_cps)
+    where ref_cps is the measured per-cell numpy-loop baseline rate.
 
     The workload is ``lax.sort``-bound, not HBM-bound: each rotation's scan
     step sorts the rotated obs (m keys/row), payload-sorts the rotated hist
@@ -463,7 +464,49 @@ def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
         ts.append(time.perf_counter() - t0)
     rate = rows * (n + p) * 4 / min(ts)  # operand-elements / s
     sort_bound_s = units / rate
-    return n_cells / dt, dt, nbytes, sort_bound_s, sort_bound_s / dt
+
+    # ---- per-cell numpy baseline -----------------------------------------
+    # How a scikit-downscale user would script Cannon 2018 today: a Python
+    # loop over cells with np.sort / stable np.argsort / np.interp (the same
+    # formulation the full-pipeline golden uses, tests/test_mbc.py).  QDM
+    # margins are the pp-interp diff form (tail-OLS cost is negligible at
+    # n_endpoints=10, so this slightly FLATTERS the baseline).
+    def pp(k):
+        return (np.arange(1, k + 1) - 0.4) / (k + 0.2)
+
+    ppn, ppm, ppp = pp(n_time), pp(n_time), pp(n_time)
+
+    def cell(yc, xhc, xfc):
+        mh, mf = np.empty_like(xhc), np.empty_like(xfc)
+        for j in range(d):
+            ys, xs = np.sort(yc[:, j]), np.sort(xhc[:, j])
+            oh = np.argsort(xhc[:, j], kind="stable")
+            mh[oh, j] = np.interp(ppn, ppm, ys) + (xs - xs)
+            of = np.argsort(xfc[:, j], kind="stable")
+            xfs = xfc[of, j]
+            mf[of, j] = np.interp(ppp, ppm, ys) + (xfs - np.interp(ppp, ppn, xs))
+        zh, zf = mh.copy(), mf.copy()
+        for Q in rots:
+            yr, zhr, zfr = yc @ Q, zh @ Q, zf @ Q
+            zh2, zf2 = np.empty_like(zhr), np.empty_like(zfr)
+            for j in range(d):
+                ys = np.sort(yr[:, j])
+                mapped = np.interp(ppn, ppm, ys)
+                order = np.argsort(zhr[:, j], kind="stable")
+                zh2[order, j] = mapped
+                zf2[:, j] = np.interp(zfr[:, j], zhr[order, j], mapped)
+            zh, zf = zh2 @ Q.T, zf2 @ Q.T
+        for j in range(d):
+            mh[np.argsort(zh[:, j], kind="stable"), j] = np.sort(mh[:, j])
+            mf[np.argsort(zf[:, j], kind="stable"), j] = np.sort(mf[:, j])
+        return mh, mf
+
+    n_probe = 4
+    t0 = time.perf_counter()
+    for c in range(n_probe):
+        cell(y[c].astype(np.float64), xh[c].astype(np.float64), xf[c].astype(np.float64))
+    ref_cps = n_probe / (time.perf_counter() - t0)
+    return n_cells / dt, dt, nbytes, sort_bound_s, sort_bound_s / dt, ref_cps
 
 
 # v5e per-chip peaks used for the GARD kernel bounds (VERDICT r2 #4):
@@ -678,7 +721,7 @@ def main():
         return
     if model == "mbcn":
         n = n_cells if len(sys.argv) > 1 else 2048
-        cps, dt, nbytes, sort_bound_s, util = bench_mbcn(n_cells=n)
+        cps, dt, nbytes, sort_bound_s, util, ref_cps = bench_mbcn(n_cells=n)
         print(
             json.dumps(
                 {
@@ -686,7 +729,9 @@ def main():
                     "value": round(cps, 1),
                     "unit": "cells/sec (MBCn d=3, 10y daily, 20 rotations,"
                     " hist+fut corrected)",
-                    "vs_baseline": None,  # no reference counterpart exists
+                    # no reference implementation exists; baseline = the
+                    # per-cell numpy loop a scikit-downscale user would write
+                    "vs_baseline": round(cps / ref_cps, 1),
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
                     "sort_bound_s": round(sort_bound_s, 4),
                     "binding": "lax.sort",

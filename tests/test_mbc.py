@@ -201,6 +201,65 @@ class TestMbcnCorrect:
             )
 
 
+def _mbcn_numpy(skref, y, xh, xf, rots, kinds, alpha=0.4, beta=0.4):
+    """Fully independent MBCn pipeline: margins via the *reference*'s
+    EquidistantCdfMatcher (ref quantile.py:556-636) and the Cannon 2018
+    rotation loop in plain numpy (np.sort / stable np.argsort / np.interp).
+    Mirrors the algorithm spec in models/mbc.py's module docstring with none
+    of its code paths (no rank-bracket tables, no payload sorts)."""
+    n, m, p, d = xh.shape[0], y.shape[0], xf.shape[0], y.shape[1]
+    mh = np.empty_like(xh)
+    mf = np.empty_like(xf)
+    for j in range(d):
+        est = skref.EquidistantCdfMatcher(kind=kinds[j], extrapolate="both").fit(
+            xh[:, j : j + 1], y[:, j]
+        )
+        mh[:, j] = est.predict(xh[:, j : j + 1])
+        mf[:, j] = est.predict(xf[:, j : j + 1])
+
+    def pp(k):
+        return (np.arange(1, k + 1) - alpha) / (k + 1.0 - alpha - beta)
+
+    zh, zf = mh.copy(), mf.copy()
+    for Q in rots:
+        yr, zhr, zfr = y @ Q, zh @ Q, zf @ Q
+        zh2, zf2 = np.empty_like(zhr), np.empty_like(zfr)
+        for j in range(d):
+            ys = np.sort(yr[:, j])
+            mapped = np.interp(pp(n), pp(m), ys)
+            order = np.argsort(zhr[:, j], kind="stable")
+            zh2[order, j] = mapped
+            zf2[:, j] = np.interp(zfr[:, j], zhr[order, j], mapped)
+        zh, zf = zh2 @ Q.T, zf2 @ Q.T
+
+    def reorder(margin, z):
+        out = np.empty_like(margin)
+        for j in range(margin.shape[1]):
+            out[np.argsort(z[:, j], kind="stable"), j] = np.sort(margin[:, j])
+        return out
+
+    return reorder(mh, zh), reorder(mf, zf)
+
+
+class TestMbcnFullPipelineGolden:
+    def test_matches_independent_numpy_pipeline(self, skref, rng):
+        """End-to-end golden: mbcn_correct == reference-margin + numpy-loop
+        formulation at float64.  The only shared ingredient is the algorithm
+        itself — margins, rank map, fut transfer, and closing reorder all
+        come from different code (reference estimator / np.interp) here."""
+        y = _correlated(rng, 260, CY)
+        xh = _correlated(rng, 240, CX, scale=1.5, loc=2.0)
+        xf = _correlated(rng, 200, CX, scale=1.4, loc=2.5)
+        R = mbcn_rotations(3, 8, 0)
+        kinds = ("difference",) * 3
+        oh, of = mbcn_correct(
+            jnp.asarray(y), jnp.asarray(xh), jnp.asarray(xf), R, kinds=kinds
+        )
+        eh, ef = _mbcn_numpy(skref, y, xh, xf, R, kinds)
+        npt.assert_allclose(np.asarray(oh), eh, rtol=1e-7, atol=1e-9)
+        npt.assert_allclose(np.asarray(of), ef, rtol=1e-7, atol=1e-9)
+
+
 class TestMBCnClass:
     def test_fit_predict_dataframe(self, problem):
         y, xh, xf = problem
