@@ -98,6 +98,100 @@ def unpack_scatter(src: np.ndarray, cell_ids: np.ndarray, n_cells: int, fill=np.
     return out
 
 
+# ---------------------------------------------------------------------------
+# blosclite: c-blosc1-compatible LZ4(+byte-shuffle) frame codec for zarrlite
+# (``native/blosclite.cpp``).  Real-world zarr stores default to blosc; this
+# lets utils/zarrlite.py read/write them without the blosc C library.
+# ---------------------------------------------------------------------------
+
+_BLOSC_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libblosclite.so")
+_blosc_lib = None
+_blosc_tried = False
+
+
+def _load_blosc():
+    global _blosc_lib, _blosc_tried
+    with _lock:
+        if _blosc_tried:
+            return _blosc_lib
+        _blosc_tried = True
+        if not os.path.exists(_BLOSC_LIB_PATH):
+            src = os.path.join(_REPO_ROOT, "native", "blosclite.cpp")
+            if os.path.exists(src):
+                try:
+                    subprocess.run(
+                        ["make", "-C", os.path.dirname(src)],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                except Exception:
+                    return None
+        try:
+            lib = ctypes.CDLL(_BLOSC_LIB_PATH)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.blosclite_nbytes.argtypes = [ctypes.c_char_p, i64]
+        lib.blosclite_nbytes.restype = i64
+        lib.blosclite_decompress.argtypes = [ctypes.c_char_p, i64, u8p, i64]
+        lib.blosclite_decompress.restype = i64
+        lib.blosclite_max_csize.argtypes = [i64]
+        lib.blosclite_max_csize.restype = i64
+        lib.blosclite_compress.argtypes = [ctypes.c_char_p, i64, i32, i32, u8p, i64]
+        lib.blosclite_compress.restype = i64
+        _blosc_lib = lib
+        return _blosc_lib
+
+
+def blosc_available() -> bool:
+    return _load_blosc() is not None
+
+
+def _blosc_raise(code: int) -> None:
+    if code == -2:
+        raise ValueError(
+            "unsupported blosc feature (inner codec other than lz4/lz4hc, "
+            "bitshuffle, or delta filter)"
+        )
+    raise ValueError("malformed blosc frame")
+
+
+def blosc_decompress(buf: bytes) -> bytes:
+    """Decode one c-blosc1 frame (LZ4/LZ4HC inner codec) to raw bytes."""
+    lib = _load_blosc()
+    if lib is None:
+        raise ValueError(
+            "blosc-compressed data but the native blosclite library is "
+            "unavailable (build it with `make -C native`)"
+        )
+    nbytes = lib.blosclite_nbytes(buf, len(buf))
+    if nbytes < 0:
+        _blosc_raise(nbytes)
+    out = np.empty(nbytes, dtype=np.uint8)
+    rc = lib.blosclite_decompress(buf, len(buf), out, nbytes)
+    if rc < 0:
+        _blosc_raise(rc)
+    return out.tobytes()
+
+
+def blosc_compress(buf: bytes, typesize: int = 1, shuffle: int = 1) -> bytes:
+    """Encode raw bytes as a c-blosc1 LZ4 frame (optionally byte-shuffled)."""
+    lib = _load_blosc()
+    if lib is None:
+        raise ValueError(
+            "native blosclite library unavailable (build it with `make -C native`)"
+        )
+    cap = lib.blosclite_max_csize(len(buf))
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.blosclite_compress(buf, len(buf), int(typesize), int(shuffle), out, cap)
+    if rc < 0:
+        _blosc_raise(rc)
+    return out[:rc].tobytes()
+
+
 def valid_mask(first_slice: np.ndarray) -> np.ndarray:
     """NaN-cell mask from a (C,) slice (reference ``_make_mask``, core.py:35)."""
     lib = _load()

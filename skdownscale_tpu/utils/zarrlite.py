@@ -12,9 +12,12 @@ numpy + stdlib codecs:
   ``fill_value``
 * groups: ``.zgroup`` + member arrays in subdirectories
 * attributes: ``.zattrs``
-* compressors: ``null`` (raw), ``zlib``, ``gzip`` — stdlib-codable.  Blosc
-  (the zarr-python default) needs the blosc C library and raises a clear
-  error here.
+* compressors: ``null`` (raw), ``zlib``, ``gzip`` — stdlib-codable — and
+  ``blosc`` with the lz4/lz4hc inner codec (the zarr-python default,
+  ``Blosc(cname='lz4', clevel=5, shuffle=SHUFFLE)``) via the native
+  ``blosclite`` codec (``native/blosclite.cpp``; interop targets c-blosc
+  >= 1.14 streams).  Blosc frames using bitshuffle, delta, or other inner
+  codecs (zstd/zlib/snappy/blosclz) raise a clear error.
 
 Stores written by this module are readable by real ``zarr`` and vice versa
 (within the codec subset).  The API mirrors the tiny slice of zarr-python
@@ -32,7 +35,7 @@ import numpy as np
 
 __all__ = ["ZarrArray", "ZarrGroup", "save_array", "open_array", "save_group", "open_group"]
 
-_SUPPORTED_CODECS = (None, "zlib", "gzip")
+_SUPPORTED_CODECS = (None, "zlib", "gzip", "blosc")
 
 
 def _decompress(buf: bytes, compressor) -> bytes:
@@ -42,16 +45,31 @@ def _decompress(buf: bytes, compressor) -> bytes:
     if cid in ("zlib", "gzip"):
         # zlib.decompress with wbits=47 auto-detects zlib and gzip wrappers
         return zlib.decompress(buf, wbits=47)
+    if cid == "blosc":
+        # the frame header carries nbytes/typesize/shuffle; cname in the
+        # metadata is advisory (the frame's codec id is authoritative)
+        from .native import blosc_decompress
+
+        return blosc_decompress(buf)
     raise ValueError(
         f"unsupported zarr compressor {cid!r}: this minimal reader handles "
         f"{_SUPPORTED_CODECS}; re-write the store uncompressed or zlib/gzip"
     )
 
 
-def _compress(buf: bytes, compressor) -> bytes:
+def _compress(buf: bytes, compressor, itemsize: int = 1) -> bytes:
     if compressor is None:
         return buf
     cid = compressor.get("id")
+    if cid == "blosc":
+        from .native import blosc_compress
+
+        shuffle = int(compressor.get("shuffle", 1))
+        if shuffle == -1:  # numcodecs AUTOSHUFFLE; we never bit-shuffle
+            shuffle = 1 if itemsize > 1 else 0
+        if shuffle == 2:
+            raise ValueError("bitshuffle is not supported by blosclite")
+        return blosc_compress(buf, typesize=itemsize, shuffle=shuffle)
     level = int(compressor.get("level", 5))
     if cid == "zlib":
         return zlib.compress(buf, level)
@@ -210,13 +228,19 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None):
     """Write ``arr`` as a zarr v2 array directory at ``path``.
 
     ``chunks=None`` stores one chunk per array; ``compressor`` is ``'zlib'``,
-    ``'gzip'`` or ``None`` (raw).
+    ``'gzip'``, ``'blosc'`` (lz4 + byte-shuffle, numcodecs-style metadata,
+    readable by real zarr-python) or ``None`` (raw).
     """
     arr = np.ascontiguousarray(arr)
     if chunks is None:
         chunks = arr.shape if arr.ndim else (1,)
     chunks = tuple(int(c) for c in chunks)
-    comp = None if compressor is None else {"id": compressor, "level": 5}
+    if compressor is None:
+        comp = None
+    elif compressor == "blosc":
+        comp = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
+    else:
+        comp = {"id": compressor, "level": 5}
     os.makedirs(path, exist_ok=True)
     _write_json(
         os.path.join(path, ".zarray"),
@@ -242,7 +266,7 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None):
             full = np.full(chunks, _fill_scalar(_fill_json(arr.dtype), arr.dtype), arr.dtype)
             full[tuple(slice(0, s) for s in block.shape)] = block
             block = full
-        buf = _compress(np.ascontiguousarray(block).tobytes(), comp)
+        buf = _compress(np.ascontiguousarray(block).tobytes(), comp, arr.dtype.itemsize)
         key = ".".join(str(i) for i in idx)
         with open(os.path.join(path, key), "wb") as f:
             f.write(buf)

@@ -59,10 +59,170 @@ def test_unsupported_compressor_raises(tmp_path, rng):
     a = rng.normal(size=(4, 4))
     p = zarrlite.save_array(str(tmp_path / "a.zarr"), a)
     meta = json.load(open(f"{p}/.zarray"))
-    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    meta["compressor"] = {"id": "zstd", "level": 1}
     json.dump(meta, open(f"{p}/.zarray", "w"))
-    with pytest.raises(ValueError, match="blosc"):
+    with pytest.raises(ValueError, match="zstd"):
         np.asarray(zarrlite.open_array(p))
+
+
+# ---------------------------------------------------------------------------
+# blosc codec (native/blosclite.cpp via utils.native): the zarr-python
+# default compressor.  Round-trips cover our encoder; the hand-built frames
+# cover the layouts real c-blosc streams use that our encoder never emits
+# (split streams, raw streams, memcpy mode, known-answer LZ4 sequences).
+# ---------------------------------------------------------------------------
+
+blosc_native = pytest.importorskip("skdownscale_tpu.utils.native")
+needs_blosc = pytest.mark.skipif(
+    not blosc_native.blosc_available(), reason="native blosclite not built"
+)
+
+
+def _blosc_frame(payload, *, flags, typesize, nbytes, blocksize, bstarts=()):
+    """Hand-assemble a c-blosc1 frame (header + bstarts + payload)."""
+    import struct
+
+    cbytes = 16 + 4 * len(bstarts) + len(payload)
+    head = struct.pack(
+        "<BBBBIII", 2, 1, flags, typesize, nbytes, blocksize, cbytes
+    ) + b"".join(struct.pack("<I", 16 + 4 * len(bstarts) + off) for off in bstarts)
+    return head + payload
+
+
+@needs_blosc
+@pytest.mark.parametrize("dtype", [np.float64, np.float32, np.int16, np.uint8])
+@pytest.mark.parametrize("chunks", [None, (7, 5), (100, 100)])
+def test_blosc_store_roundtrip(tmp_path, rng, dtype, chunks):
+    a = (rng.normal(size=(23, 11)) * 10).astype(dtype)
+    p = zarrlite.save_array(str(tmp_path / "a.zarr"), a, chunks=chunks, compressor="blosc")
+    z = zarrlite.open_array(p)
+    assert z.compressor["id"] == "blosc" and z.compressor["cname"] == "lz4"
+    npt.assert_array_equal(np.asarray(z), a)
+
+
+@needs_blosc
+def test_blosc_multiblock_and_incompressible(rng):
+    # > 256 KB forces multiple blocks; random bytes force raw/memcpy paths
+    smooth = np.sort(rng.normal(size=150_000)).astype(np.float64).tobytes()
+    noise = rng.integers(0, 256, 700_000, dtype=np.uint8).tobytes()
+    for raw, ts in [(smooth, 8), (noise, 1)]:
+        for shuffle in (0, 1):
+            c = blosc_native.blosc_compress(raw, typesize=ts, shuffle=shuffle)
+            assert blosc_native.blosc_decompress(c) == raw
+    assert len(blosc_native.blosc_compress(noise, 1, 0)) == len(noise) + 16  # memcpy
+
+
+@needs_blosc
+def test_blosc_decodes_split_shuffled_frame(rng):
+    """Real c-blosc lz4 streams SPLIT each block into typesize byte-plane
+    streams (one [int32 csize][bytes] pair per plane); our encoder never
+    writes that layout, so build one by hand with raw (csize == neblock)
+    streams over a byte-shuffled float32 block."""
+    import struct
+
+    a = rng.normal(size=64).astype(np.float32)
+    raw = a.tobytes()
+    planes = np.frombuffer(raw, np.uint8).reshape(-1, 4).T.copy()  # shuffle
+    payload = b"".join(
+        struct.pack("<I", planes.shape[1]) + pl.tobytes() for pl in planes
+    )
+    frame = _blosc_frame(
+        payload,
+        flags=0x1 | (1 << 5),  # byte-shuffle + lz4, split NOT marked
+        typesize=4,
+        nbytes=len(raw),
+        blocksize=len(raw),
+        bstarts=(0,),
+    )
+    assert blosc_native.blosc_decompress(frame) == raw
+
+
+@needs_blosc
+def test_blosc_decodes_known_lz4_sequence():
+    """Known-answer LZ4: literals 'abc' then a match (offset 3, len 9)
+    reconstructs b'abcabcabcabc' — exercises the overlapping-match copy."""
+    import struct
+
+    lz4 = bytes([0x35]) + b"abc" + struct.pack("<H", 3)
+    payload = struct.pack("<I", len(lz4)) + lz4
+    frame = _blosc_frame(
+        payload, flags=0x10 | (1 << 5), typesize=1, nbytes=12, blocksize=12, bstarts=(0,)
+    )
+    assert blosc_native.blosc_decompress(frame) == b"abcabcabcabc"
+
+
+@needs_blosc
+def test_blosc_rejects_unsupported_and_malformed():
+    ok = blosc_native.blosc_compress(b"x" * 100, 1, 0)
+    with pytest.raises(ValueError, match="malformed"):
+        blosc_native.blosc_decompress(ok[:10])  # truncated header
+    with pytest.raises(ValueError, match="malformed"):
+        blosc_native.blosc_decompress(ok[:-5])  # truncated body
+    bitshuf = bytearray(ok)
+    bitshuf[2] = 0x4 | (1 << 5)  # claim bitshuffle
+    with pytest.raises(ValueError, match="unsupported"):
+        blosc_native.blosc_decompress(bytes(bitshuf))
+    zstd = bytearray(ok)
+    zstd[2] = 4 << 5  # inner codec zstd
+    with pytest.raises(ValueError, match="unsupported"):
+        blosc_native.blosc_decompress(bytes(zstd))
+
+
+@needs_blosc
+def test_blosc_zero_runlength_stream():
+    """csize == 0 marks an all-zero stream (c-blosc zero-runlength)."""
+    import struct
+
+    payload = struct.pack("<I", 0)
+    frame = _blosc_frame(
+        payload, flags=0x10 | (1 << 5), typesize=1, nbytes=32, blocksize=32, bstarts=(0,)
+    )
+    assert blosc_native.blosc_decompress(frame) == b"\x00" * 32
+
+
+@needs_blosc
+def test_blosc_threaded_decode_matches(rng, monkeypatch):
+    """Force the multithreaded block-decode path (this image has 1 core, so
+    the default would run serial) on a multi-block shuffled frame."""
+    monkeypatch.setenv("BLOSCLITE_THREADS", "4")
+    a = np.sort(rng.normal(size=300_000)).astype(np.float64)  # ~2.3 MB, 9 blocks
+    raw = a.tobytes()
+    c = blosc_native.blosc_compress(raw, typesize=8, shuffle=1)
+    assert blosc_native.blosc_decompress(c) == raw
+    with pytest.raises(ValueError, match="malformed"):
+        blosc_native.blosc_decompress(c[:-9])
+
+
+@needs_blosc
+def test_blosc_interop_with_real_numcodecs(rng):
+    """On images that ship numcodecs (real c-blosc), prove both directions:
+    c-blosc decodes our frames and we decode c-blosc's (lz4 and lz4hc,
+    shuffle on/off).  Skipped here (no numcodecs on this image); the
+    hand-built-frame tests above cover the same layouts from the format
+    spec."""
+    numcodecs = pytest.importorskip("numcodecs")
+    a = np.sort(rng.normal(size=50_000)).astype(np.float64)
+    raw = a.tobytes()
+    for cname in ("lz4", "lz4hc"):
+        for shuffle in (0, 1):
+            codec = numcodecs.Blosc(cname=cname, clevel=5, shuffle=shuffle)
+            assert blosc_native.blosc_decompress(bytes(codec.encode(a))) == raw
+    theirs = numcodecs.Blosc(cname="lz4", clevel=5, shuffle=1)
+    for shuffle in (0, 1):
+        ours = blosc_native.blosc_compress(raw, typesize=8, shuffle=shuffle)
+        assert bytes(theirs.decode(ours)) == raw
+
+
+@needs_blosc
+def test_blosc_fed_bcsd_matches_zlib_store(tmp_path, rng):
+    """The input pipeline is codec-agnostic: the same grid through a
+    blosc-compressed store equals the zlib-compressed one."""
+    a = rng.normal(size=(24, 6, 5)).astype(np.float64)
+    pz = zarrlite.save_array(str(tmp_path / "z.zarr"), a, chunks=(24, 2, 5), compressor="zlib")
+    pb = zarrlite.save_array(str(tmp_path / "b.zarr"), a, chunks=(24, 2, 5), compressor="blosc")
+    npt.assert_array_equal(
+        np.asarray(zarrlite.open_array(pz)), np.asarray(zarrlite.open_array(pb))
+    )
 
 
 def test_group_roundtrip(tmp_path, rng):
