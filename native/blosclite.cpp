@@ -267,10 +267,16 @@ int64_t blosclite_decompress(const uint8_t* src, int64_t srclen, uint8_t* dst,
   int64_t nblocks = (nbytes + blocksize - 1) / blocksize;
   if (16 + 4 * nblocks > cbytes) return ERR_MALFORMED;
 
-  // Blocks are independent given bstarts: decode them in parallel.
+  // Blocks are independent given bstarts: decode them in parallel.  The
+  // per-thread scratch is bounded by min(blocksize, nbytes): blocksize comes
+  // from the (possibly corrupt) header, but no block ever holds more than
+  // nbytes == dstlen bytes, which the caller has validated — so a malformed
+  // multi-GB blocksize cannot trigger a multi-GB allocation (a bad_alloc
+  // inside a std::thread would std::terminate the host process).
+  int64_t scratch = std::min<int64_t>(blocksize, nbytes);
   std::atomic<bool> ok{true};
   parallel_for(nblocks, [&](int64_t blo, int64_t bhi) {
-    std::vector<uint8_t> tmp(shuffled ? blocksize : 0);  // per-thread scratch
+    std::vector<uint8_t> tmp(shuffled ? scratch : 0);  // per-thread scratch
     for (int64_t b = blo; b < bhi && ok.load(std::memory_order_relaxed); ++b) {
       int64_t bstart = load32(src + 16 + 4 * b);
       if (bstart < 16 || bstart >= cbytes) {
@@ -307,6 +313,10 @@ int64_t blosclite_max_csize(int64_t nbytes) {
 int64_t blosclite_compress(const uint8_t* src, int64_t nbytes, int32_t typesize,
                            int32_t shuffle, uint8_t* dst, int64_t dstcap) {
   if (nbytes < 0 || dstcap < blosclite_max_csize(nbytes)) return ERR_MALFORMED;
+  // c-blosc caps buffers at BLOSC_MAX_BUFFERSIZE = INT32_MAX - BLOSC_MAX_OVERHEAD;
+  // beyond that the uint32 header fields would silently truncate and real
+  // blosc could not read the frame anyway.  Refuse rather than corrupt.
+  if (nbytes > 0x7FFFFFFF - 16) return ERR_UNSUPPORTED;
   int64_t ts = (typesize >= 1 && typesize <= 255) ? typesize : 1;
   if (ts == 1) shuffle = 0;
   int64_t blocksize = 1 << 18;  // 256 KB, aligned to the typesize

@@ -24,24 +24,35 @@ _lib = None
 _tried = False
 
 
+def _ensure_built(lib_path: str, src_name: str) -> bool:
+    """Build (or rebuild) ``lib_path`` from ``native/<src_name>`` if the .so is
+    missing or older than its source (a stale binary — possibly compiled with
+    ``-march=native`` on different hardware — must never be silently loaded)."""
+    src = os.path.join(_REPO_ROOT, "native", src_name)
+    if not os.path.exists(src):
+        return os.path.exists(lib_path)
+    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(src)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return os.path.exists(lib_path)
+    return True
+
+
 def _load():
     global _lib, _tried
     with _lock:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_REPO_ROOT, "native", "gridpack.cpp")
-            if os.path.exists(src):
-                try:
-                    subprocess.run(
-                        ["make", "-C", os.path.dirname(src)],
-                        check=True,
-                        capture_output=True,
-                        timeout=120,
-                    )
-                except Exception:
-                    return None
+        if not _ensure_built(_LIB_PATH, "gridpack.cpp"):
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -115,18 +126,8 @@ def _load_blosc():
         if _blosc_tried:
             return _blosc_lib
         _blosc_tried = True
-        if not os.path.exists(_BLOSC_LIB_PATH):
-            src = os.path.join(_REPO_ROOT, "native", "blosclite.cpp")
-            if os.path.exists(src):
-                try:
-                    subprocess.run(
-                        ["make", "-C", os.path.dirname(src)],
-                        check=True,
-                        capture_output=True,
-                        timeout=120,
-                    )
-                except Exception:
-                    return None
+        if not _ensure_built(_BLOSC_LIB_PATH, "blosclite.cpp"):
+            return None
         try:
             lib = ctypes.CDLL(_BLOSC_LIB_PATH)
         except OSError:
@@ -183,6 +184,11 @@ def blosc_compress(buf: bytes, typesize: int = 1, shuffle: int = 1) -> bytes:
     if lib is None:
         raise ValueError(
             "native blosclite library unavailable (build it with `make -C native`)"
+        )
+    if len(buf) > 0x7FFFFFFF - 16:
+        raise ValueError(
+            "buffer too large for a blosc frame (c-blosc caps buffers at "
+            "2**31-1 bytes incl. overhead); chunk the array before compressing"
         )
     cap = lib.blosclite_max_csize(len(buf))
     out = np.empty(cap, dtype=np.uint8)
