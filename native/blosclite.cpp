@@ -29,6 +29,8 @@
 #include <thread>
 #include <vector>
 
+#include "zstdlite.h"
+
 namespace {
 
 int hardware_threads() {
@@ -69,7 +71,11 @@ constexpr uint8_t FLAG_MEMCPYED = 0x2;
 constexpr uint8_t FLAG_BIT_SHUFFLE = 0x4;
 constexpr uint8_t FLAG_DELTA = 0x8;
 constexpr uint8_t FLAG_DONT_SPLIT = 0x10;
-constexpr int CODEC_LZ4 = 1;  // bits 5-7 of flags; lz4hc shares this id
+// Inner-codec FORMAT ids stored in bits 5-7 of the flags byte (c-blosc
+// blosc.h BLOSC_*_FORMAT — distinct from the compressor enum): blosclz 0,
+// lz4/lz4hc 1, snappy 2, zlib 3, zstd 4.
+constexpr int CODEC_LZ4 = 1;
+constexpr int CODEC_ZSTD = 4;
 
 inline uint32_t load32(const uint8_t* p) {
   uint32_t v;
@@ -209,7 +215,7 @@ void unshuffle_bytes(const uint8_t* src, uint8_t* dst, int64_t bsize, int64_t ts
 // [int32 csize][csize bytes] x nstreams; csize == neblock means stored raw,
 // csize == 0 means a zero-filled stream (c-blosc zero-runlength).
 bool decode_streams(const uint8_t* frame, int64_t frame_len, int64_t pos,
-                    int64_t nstreams, int64_t bsize, uint8_t* out) {
+                    int64_t nstreams, int64_t bsize, uint8_t* out, int codec) {
   if (nstreams <= 0 || bsize % nstreams != 0) return false;
   int64_t neblock = bsize / nstreams;
   for (int64_t j = 0; j < nstreams; ++j) {
@@ -223,6 +229,10 @@ bool decode_streams(const uint8_t* frame, int64_t frame_len, int64_t pos,
     if (pos + csize > frame_len) return false;
     if (csize == neblock) {
       std::memcpy(out + j * neblock, frame + pos, static_cast<size_t>(neblock));
+    } else if (codec == CODEC_ZSTD) {
+      // c-blosc compresses each stream as one standalone zstd frame
+      if (zstdlite::decode_into(frame + pos, csize, out + j * neblock, neblock) != neblock)
+        return false;
     } else {
       if (lz4_decode(frame + pos, csize, out + j * neblock, neblock) != neblock) return false;
     }
@@ -259,7 +269,8 @@ int64_t blosclite_decompress(const uint8_t* src, int64_t srclen, uint8_t* dst,
     return nbytes;
   }
   if (flags & (FLAG_BIT_SHUFFLE | FLAG_DELTA)) return ERR_UNSUPPORTED;
-  if ((flags >> 5) != CODEC_LZ4) return ERR_UNSUPPORTED;
+  int codec = flags >> 5;
+  if (codec != CODEC_LZ4 && codec != CODEC_ZSTD) return ERR_UNSUPPORTED;
   if (blocksize <= 0) return ERR_MALFORMED;
 
   bool shuffled = flags & FLAG_BYTE_SHUFFLE;
@@ -290,8 +301,9 @@ int64_t blosclite_decompress(const uint8_t* src, int64_t srclen, uint8_t* dst,
       // so retry with the other framing if the marked one fails to parse.
       int64_t primary = (!dont_split && !leftover) ? typesize : 1;
       int64_t alternate = primary == 1 ? typesize : 1;
-      if (!decode_streams(src, cbytes, bstart, primary, bsize, out) &&
-          !(alternate != primary && decode_streams(src, cbytes, bstart, alternate, bsize, out))) {
+      if (!decode_streams(src, cbytes, bstart, primary, bsize, out, codec) &&
+          !(alternate != primary &&
+            decode_streams(src, cbytes, bstart, alternate, bsize, out, codec))) {
         ok.store(false);
         return;
       }

@@ -143,6 +143,10 @@ def _load_blosc():
         lib.blosclite_max_csize.restype = i64
         lib.blosclite_compress.argtypes = [ctypes.c_char_p, i64, i32, i32, u8p, i64]
         lib.blosclite_compress.restype = i64
+        lib.zstdlite_decompress.argtypes = [ctypes.c_char_p, i64, u8p, i64]
+        lib.zstdlite_decompress.restype = i64
+        lib.zstdlite_content_size.argtypes = [ctypes.c_char_p, i64]
+        lib.zstdlite_content_size.restype = i64
         _blosc_lib = lib
         return _blosc_lib
 
@@ -196,6 +200,34 @@ def blosc_compress(buf: bytes, typesize: int = 1, shuffle: int = 1) -> bytes:
     if rc < 0:
         _blosc_raise(rc)
     return out[:rc].tobytes()
+
+
+def zstd_decompress(buf: bytes, nbytes: int | None = None) -> bytes:
+    """Decode one (or concatenated) zstd frame(s) via the from-scratch
+    RFC 8878 decoder in ``native/zstdlite.cpp`` (decode-only; fuzz-verified
+    against system libzstd).  ``nbytes`` is the expected decoded size; if
+    omitted it is taken from the frame header (which numcodecs always
+    writes)."""
+    lib = _load_blosc()
+    if lib is None:
+        raise ValueError(
+            "zstd-compressed data but the native zstdlite decoder is "
+            "unavailable (build it with `make -C native`)"
+        )
+    if nbytes is None:
+        nbytes = lib.zstdlite_content_size(buf, len(buf))
+        if nbytes < 0:
+            raise ValueError(
+                "zstd frame does not declare its content size; pass the "
+                "expected decoded size explicitly"
+            )
+    out = np.empty(nbytes, dtype=np.uint8)
+    rc = lib.zstdlite_decompress(buf, len(buf), out, nbytes)
+    if rc < 0:
+        if rc == -2:
+            raise ValueError("unsupported zstd feature (external dictionary)")
+        raise ValueError("malformed zstd frame (or decoded size mismatch)")
+    return out.tobytes()
 
 
 def valid_mask(first_slice: np.ndarray) -> np.ndarray:

@@ -12,12 +12,17 @@ numpy + stdlib codecs:
   ``fill_value``
 * groups: ``.zgroup`` + member arrays in subdirectories
 * attributes: ``.zattrs``
-* compressors: ``null`` (raw), ``zlib``, ``gzip`` — stdlib-codable — and
-  ``blosc`` with the lz4/lz4hc inner codec (the zarr-python default,
-  ``Blosc(cname='lz4', clevel=5, shuffle=SHUFFLE)``) via the native
-  ``blosclite`` codec (``native/blosclite.cpp``; interop targets c-blosc
-  >= 1.14 streams).  Blosc frames using bitshuffle, delta, or other inner
-  codecs (zstd/zlib/snappy/blosclz) raise a clear error.
+* compressors: ``null`` (raw), ``zlib``, ``gzip`` — stdlib-codable — plus
+  ``blosc`` with the lz4/lz4hc or zstd inner codecs (the zarr-python default
+  ``Blosc(cname='lz4', ...)`` and the common CMIP6/pangeo
+  ``Blosc(cname='zstd', ...)``) via the native ``blosclite`` codec
+  (``native/blosclite.cpp``; interop targets c-blosc >= 1.14 streams), and
+  ``zstd`` (numcodecs ``Zstd``; decode-only) via the from-scratch RFC 8878
+  decoder in ``native/zstdlite.cpp``.  Blosc frames using bitshuffle, delta,
+  or snappy/zlib/blosclz inner codecs raise a clear error.
+
+zarr **v3** stores (``zarr.json`` metadata) are detected and rejected with
+an error naming the gap — this reader implements the v2 format only.
 
 Stores written by this module are readable by real ``zarr`` and vice versa
 (within the codec subset).  The API mirrors the tiny slice of zarr-python
@@ -35,10 +40,10 @@ import numpy as np
 
 __all__ = ["ZarrArray", "ZarrGroup", "save_array", "open_array", "save_group", "open_group"]
 
-_SUPPORTED_CODECS = (None, "zlib", "gzip", "blosc")
+_SUPPORTED_CODECS = (None, "zlib", "gzip", "blosc", "zstd")
 
 
-def _decompress(buf: bytes, compressor) -> bytes:
+def _decompress(buf: bytes, compressor, nbytes: int | None = None) -> bytes:
     if compressor is None:
         return buf
     cid = compressor.get("id")
@@ -51,6 +56,10 @@ def _decompress(buf: bytes, compressor) -> bytes:
         from .native import blosc_decompress
 
         return blosc_decompress(buf)
+    if cid == "zstd":  # numcodecs Zstd: chunks are raw zstd frames
+        from .native import zstd_decompress
+
+        return zstd_decompress(buf, nbytes)
     raise ValueError(
         f"unsupported zarr compressor {cid!r}: this minimal reader handles "
         f"{_SUPPORTED_CODECS}; re-write the store uncompressed or zlib/gzip"
@@ -97,6 +106,22 @@ def _read_json(path):
         return json.load(f)
 
 
+def _reject_v3(path):
+    """Name the gap clearly: zarr v3 stores carry a ``zarr.json`` instead of
+    ``.zarray``/``.zgroup``; this module implements the v2 format only."""
+    if not os.path.exists(os.path.join(path, "zarr.json")):
+        return
+    if os.path.exists(os.path.join(path, ".zarray")) or os.path.exists(
+        os.path.join(path, ".zgroup")
+    ):
+        return  # dual-format store: read the v2 half
+    raise NotImplementedError(
+        f"{path} is a zarr v3 store (zarr.json metadata); zarrlite implements "
+        "the zarr v2 directory format only — re-write the store with "
+        "zarr_format=2 (zarr-python: zarr.save(..., zarr_format=2))"
+    )
+
+
 def _attrs(dirpath):
     p = os.path.join(dirpath, ".zattrs")
     return _read_json(p) if os.path.exists(p) else {}
@@ -107,6 +132,7 @@ class ZarrArray:
 
     def __init__(self, path: str):
         self.path = path
+        _reject_v3(path)
         meta = _read_json(os.path.join(path, ".zarray"))
         if meta.get("zarr_format") != 2:
             raise ValueError(f"not a zarr v2 array: {path}")
@@ -128,8 +154,9 @@ class ZarrArray:
         p = os.path.join(self.path, key)
         if not os.path.exists(p):
             return np.full(self.chunks, self.fill_value, self.dtype)
+        nbytes = int(np.prod(self.chunks)) * self.dtype.itemsize
         with open(p, "rb") as f:
-            raw = _decompress(f.read(), self.compressor)
+            raw = _decompress(f.read(), self.compressor, nbytes)
         a = np.frombuffer(raw, dtype=self.dtype)
         return a.reshape(self.chunks, order=self.order)
 
@@ -189,6 +216,7 @@ class ZarrGroup:
 
     def __init__(self, path: str):
         self.path = path
+        _reject_v3(path)
         if not os.path.exists(os.path.join(path, ".zgroup")):
             raise ValueError(f"not a zarr group: {path}")
         self.attrs = _attrs(path)

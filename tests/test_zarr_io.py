@@ -162,9 +162,15 @@ def test_blosc_rejects_unsupported_and_malformed():
     bitshuf[2] = 0x4 | (1 << 5)  # claim bitshuffle
     with pytest.raises(ValueError, match="unsupported"):
         blosc_native.blosc_decompress(bytes(bitshuf))
-    zstd = bytearray(ok)
-    zstd[2] = 4 << 5  # inner codec zstd
+    snappy = bytearray(ok)
+    snappy[2] = 2 << 5  # inner codec snappy (format id 2): still unsupported
     with pytest.raises(ValueError, match="unsupported"):
+        blosc_native.blosc_decompress(bytes(snappy))
+    # zstd (format id 4) is now a *supported* codec, but these bytes are lz4:
+    # flipping the id must fail parsing, not produce garbage
+    zstd = bytearray(ok)
+    zstd[2] = 4 << 5
+    with pytest.raises(ValueError, match="malformed"):
         blosc_native.blosc_decompress(bytes(zstd))
 
 
