@@ -9,6 +9,12 @@ the reference's equivalent is dask scatter/gather plus a full fitted-model
 broadcast, which this layout eliminates).
 
 Single-host meshes work transparently (the local data is the global data).
+
+The multi-process branch is executed for real by
+``tests/test_multiprocess.py``: two OS processes form a localhost
+``jax.distributed`` job, each feeds its ``host_cell_slice`` through
+``feed_zarr_cells``, and the reassembled sharded BCSD output is bitwise
+equal to the single-process run of the same 8-device SPMD program.
 """
 
 from __future__ import annotations
