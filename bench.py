@@ -147,14 +147,28 @@ def bench_tpu(n_cells=131072, n_time=480, n_iters=3, cell_chunk=262144, streamin
     return n_cells / dt, dt, nbytes
 
 
-def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8, cells_per_pass=32768):
+def bench_daily(
+    n_cells=32768,
+    n_years=20,
+    n_iters=2,
+    group_chunk=8,
+    cells_per_pass=32768,
+    resident=None,
+):
     """Daily ('daily_nasa-nex') BCSD fit+predict — the 366 ±15-day DOY-window
     flavor (BASELINE.md config 5).  Runs the streaming formulation: lazy fit
-    (climatology matmuls) + group-chunked lax.scan predict.  Above
-    ``cells_per_pass`` the run chunks the cell axis (the single-pass HBM
-    ceiling with the slide-kernel svals is between 32k and 64k cells —
-    measured runtime OOM at 65,536; production grids chunk the same way via
-    the batched registry)."""
+    (climatology matmuls) + group-chunked lax.scan predict.
+
+    Above ``cells_per_pass`` the run chunks the cell axis exactly like the
+    batched registry's production path.  ``resident=True`` (the default at
+    one pass) keeps inputs on device and times pure compute;
+    ``resident=False`` (default when chunking — the continental
+    configuration) transfers each chunk inside the timed loop and frees
+    buffers aggressively, measuring SUSTAINED cells/s including host
+    chunk-loop and transfer overhead.  Either way the fat fit-time ``y``
+    state is dropped the moment the slide kernel has consumed it
+    (``_StreamPredictor._strip_y``), which is what lifts the single-pass
+    ceiling above the former 32-48k cells."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
@@ -164,9 +178,20 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8, cells_per_p
     rng = np.random.default_rng(0)
     index = pd.date_range("1990-01-01", periods=n_years * 365 + 5, freq="D")
     n_time = len(index)
-    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25)
-    x = (283.0 + seas[None, :] + rng.normal(0, 2, (n_cells, n_time)) + 1.5).astype(np.float32)
-    y = (282.0 + seas[None, :] + rng.normal(0, 1.8, (n_cells, n_time))).astype(np.float32)
+    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25).astype(np.float32)
+    cp = min(cells_per_pass, n_cells)
+    n_chunks = -(-n_cells // cp)
+    if resident is None:
+        resident = n_chunks == 1
+
+    def make_chunk(i):
+        lo, hi = i * cp, min((i + 1) * cp, n_cells)
+        crng = np.random.default_rng(1000 + i)
+        xc = (283.0 + seas[None, :] + crng.normal(0, 2, (hi - lo, n_time)) + 1.5).astype(
+            np.float32
+        )
+        yc = (282.0 + seas[None, :] + crng.normal(0, 1.8, (hi - lo, n_time))).astype(np.float32)
+        return xc, yc
 
     model = BcsdTemperature(time_grouper="daily_nasa-nex", return_anoms=False)
     fg = model._fit_groups(index)
@@ -175,17 +200,32 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8, cells_per_p
     predj = _jit_predict_stream(
         plan, "temperature", False, 0.4, 0.4, "both", 10, False, group_chunk
     )
-    cp = min(cells_per_pass, n_cells)
-    n_chunks = -(-n_cells // cp)
-    xs = [jax.device_put(x[i * cp : (i + 1) * cp]) for i in range(n_chunks)]
-    ys = [jax.device_put(y[i * cp : (i + 1) * cp]) for i in range(n_chunks)]
+
+    if resident:
+        chunks = [make_chunk(i) for i in range(n_chunks)]
+        xs = [jax.device_put(c[0]) for c in chunks]
+        ys = [jax.device_put(c[1]) for c in chunks]
+        del chunks
+    else:
+        # continental mode: hold chunks as host numpy; transfer inside the
+        # timed loop (the registry's production pattern)
+        host = [make_chunk(i) for i in range(n_chunks)]
 
     def run():
         s = 0.0
-        for xd, yd in zip(xs, ys):
-            state = fitj(xd, yd)
+        for i in range(n_chunks):
+            if resident:
+                xd, yd = xs[i], ys[i]
+                state = fitj(xd, yd)
+            else:
+                xd = jax.device_put(host[i][0])
+                yd = jax.device_put(host[i][1])
+                state = fitj(xd, yd)
+                del yd  # raw y freed once the fit matmuls consume it
             out = predj(state, xd)
+            del state  # fat y copy freed once the slide kernel consumes it
             s += float(jnp.sum(out))
+            del out, xd
         return s
 
     run()
@@ -195,14 +235,16 @@ def bench_daily(n_cells=32768, n_years=20, n_iters=2, group_chunk=8, cells_per_p
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    state = fitj(xs[0], ys[0])
-    nbytes = _bytes_accessed(fitj.lower(xs[0], ys[0]).compile())
+    x0 = jax.device_put(make_chunk(0)[0]) if not resident else xs[0]
+    y0 = jax.device_put(make_chunk(0)[1]) if not resident else ys[0]
+    state = fitj(x0, y0)
+    nbytes = _bytes_accessed(fitj.lower(x0, y0).compile())
     if hasattr(predj, "lowered_parts"):  # two-jit daily pipeline
         nbytes += sum(
-            _bytes_accessed(l.compile()) for l in predj.lowered_parts(state, xs[0])
+            _bytes_accessed(l.compile()) for l in predj.lowered_parts(state, x0)
         )
     else:
-        nbytes += _bytes_accessed(predj.lower(state, xs[0]).compile())
+        nbytes += _bytes_accessed(predj.lower(state, x0).compile())
     return n_cells / dt, dt, nbytes * n_chunks
 
 

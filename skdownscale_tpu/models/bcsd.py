@@ -497,13 +497,26 @@ class _StreamPredictor:
             interpret=interp,
         )
 
+    @staticmethod
+    def _strip_y(state, svals):
+        """Once the slide kernel has produced svals, the scan never reads the
+        raw fit series again — replace ``state.y`` with a zero-width slice so
+        its HBM (0.9 GB per 32k cells at 20 y daily) can be freed while the
+        scan runs.  The caller must also drop its own reference to the fat
+        state for the free to happen (see bench.py / ROUND_NOTES r3 gap #6);
+        this raises the measured single-pass daily ceiling from 32k cells."""
+        if svals is None:
+            return state
+        return state._replace(y=state.y[..., :0])
+
     def __call__(self, state, x):
-        return self._inner(state, x, self._svals(state, x))
+        svals = self._svals(state, x)
+        return self._inner(self._strip_y(state, svals), x, svals)
 
     def lowered_parts(self, state, x):
         """Lowered stages (for bytes-accessed roofline accounting)."""
         svals = self._svals(state, x)
-        parts = [self._inner.lower(state, x, svals)]
+        parts = [self._inner.lower(self._strip_y(state, svals), x, svals)]
         if svals is not None:
             parts.append(
                 self._slide.lower(
@@ -516,7 +529,8 @@ class _StreamPredictor:
         return parts
 
     def lower(self, state, x):  # bench/back-compat: the scan stage
-        return self._inner.lower(state, x, self._svals(state, x))
+        svals = self._svals(state, x)
+        return self._inner.lower(self._strip_y(state, svals), x, svals)
 
 
 @functools.lru_cache(maxsize=128)
