@@ -208,8 +208,11 @@ def bench_daily(
         del chunks
     else:
         # continental mode: hold chunks as host numpy; transfer inside the
-        # timed loop (the registry's production pattern)
-        host = [make_chunk(i) for i in range(n_chunks)]
+        # timed loop (the registry's production pattern).  Distinct data
+        # caps at 4 chunk pairs (cycled) — transfers/compute are identical
+        # per pass and host RNG time for 32 chunks would dwarf the bench.
+        host = [make_chunk(i) for i in range(min(n_chunks, 4))]
+        tail = make_chunk(n_chunks - 1) if n_cells % cp else None
 
     def run():
         s = 0.0
@@ -218,8 +221,11 @@ def bench_daily(
                 xd, yd = xs[i], ys[i]
                 state = fitj(xd, yd)
             else:
-                xd = jax.device_put(host[i][0])
-                yd = jax.device_put(host[i][1])
+                hx, hy = (
+                    tail if (tail is not None and i == n_chunks - 1) else host[i % len(host)]
+                )
+                xd = jax.device_put(hx)
+                yd = jax.device_put(hy)
                 state = fitj(xd, yd)
                 del yd  # raw y freed once the fit matmuls consume it
             out = predj(state, xd)
@@ -445,8 +451,11 @@ def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
     step sorts the rotated obs (m keys/row), payload-sorts the rotated hist
     with positions and un-sorts the mapped values (4n/row), and sort-merge
     interps the future series into the (sorted hist -> mapped) table
-    (``ops.interp.interp_sortmerge``: a 4-operand merge sort plus a
-    6-operand un-sort over n+p columns).  XLA's bytes-accessed therefore
+    (``ops.interp.interp_sortmerge``: a 3-operand merge sort plus a
+    5-operand un-sort over n+p columns — round 4 dropped the knot/query
+    flag (derivable from the position payload) and the query values from
+    the back sort (restored order makes them ``q`` itself); the former
+    4+6-operand form measured 384.7 cells/s on this config).  XLA's bytes-accessed therefore
     wildly understates the real cost (sorting networks re-touch operands
     ~log^2 L times inside one fusion), so instead of hbm_util this config
     reports ``sort_bound_s`` — the counted operand-elements through
@@ -496,7 +505,7 @@ def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
     rows = n_cells * d
     units = rows * (
         (n + m + 4 * n + 4 * p)          # QDM margins (fit sorts + 2 identity predicts)
-        + n_rot * (m + 4 * n + 10 * (n + p))  # scan: ys + rank map + sortmerge interp
+        + n_rot * (m + 4 * n + 8 * (n + p))  # scan: ys + rank map + sortmerge interp
         + 5 * n + 5 * p                   # closing rank_reorder (hist + fut)
     )
     # measured rate on a representative 4-operand payload sort of the same
@@ -517,12 +526,19 @@ def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
     rate = rows * (n + p) * 4 / min(ts)  # operand-elements / s
     sort_bound_s = units / rate
 
-    # ---- per-cell numpy baseline -----------------------------------------
-    # How a scikit-downscale user would script Cannon 2018 today: a Python
-    # loop over cells with np.sort / stable np.argsort / np.interp (the same
-    # formulation the full-pipeline golden uses, tests/test_mbc.py).  QDM
-    # margins are the pp-interp diff form (tail-OLS cost is negligible at
-    # n_endpoints=10, so this slightly FLATTERS the baseline).
+    ref_cps = _mbcn_numpy_rate(y, xh, xf, rots, d, n_time)
+    return n_cells / dt, dt, nbytes, sort_bound_s, sort_bound_s / dt, ref_cps
+
+
+def _mbcn_numpy_rate(y, xh, xf, rots, d, n_time, n_probe=4):
+    """Per-cell numpy MBCn baseline rate (cells/s).
+
+    How a scikit-downscale user would script Cannon 2018 today: a Python
+    loop over cells with np.sort / stable np.argsort / np.interp (the same
+    formulation the full-pipeline golden uses, tests/test_mbc.py).  QDM
+    margins are the pp-interp diff form (tail-OLS cost is negligible at
+    n_endpoints=10, so this slightly FLATTERS the baseline)."""
+
     def pp(k):
         return (np.arange(1, k + 1) - 0.4) / (k + 0.2)
 
@@ -553,12 +569,92 @@ def bench_mbcn(n_cells=2048, n_time=3650, d=3, n_rot=20, n_iters=2):
             mf[np.argsort(zf[:, j], kind="stable"), j] = np.sort(mf[:, j])
         return mh, mf
 
-    n_probe = 4
     t0 = time.perf_counter()
     for c in range(n_probe):
         cell(y[c].astype(np.float64), xh[c].astype(np.float64), xf[c].astype(np.float64))
-    ref_cps = n_probe / (time.perf_counter() - t0)
-    return n_cells / dt, dt, nbytes, sort_bound_s, sort_bound_s / dt, ref_cps
+    return n_probe / (time.perf_counter() - t0)
+
+
+def bench_mbcn_grid(n_cells=16384, n_time=3650, d=3, n_rot=20, chunk=2048, n_iters=2):
+    """Grid-scale MBCn (BASELINE config 8's continental flavor): the full
+    ``mbcn_grid`` path — Dataset packing, NaN-cell masking, cell chunking
+    at ``chunk`` cells/pass, host output reassembly — timed end-to-end, so
+    the rate is SUSTAINED cells/s including host transfers and the chunk
+    loop, directly comparable to config 8's resident-batch rate.  The grid
+    carries an all-NaN ocean strip to exercise the masking path.  Sort-bound
+    accounting is per valid cell, same operand counts as :func:`bench_mbcn`;
+    the sort rate is measured at the CHUNK shape (the shape the scan
+    actually runs)."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from skdownscale_tpu.models.mbc import mbcn_grid
+    from skdownscale_tpu.xlite import DataArray, Dataset
+
+    rng = np.random.default_rng(0)
+    nx = 130
+    ny = -(-n_cells // (nx - 2))  # 2 all-NaN ocean columns
+    n_valid = ny * (nx - 2)
+    index = pd.date_range("1990-01-01", periods=n_time, freq="D")
+    corr = 0.6 * np.ones((d, d)) + 0.4 * np.eye(d)
+    L = np.linalg.cholesky(corr)
+
+    def grid(mean, scale, seed):
+        g = np.random.default_rng(seed)
+        flat = (g.standard_normal((ny * nx, n_time, d)) @ L.T) * scale + mean
+        flat[: 2 * ny] = np.nan  # 2*ny all-NaN ocean cells (masking path)
+        field = flat.astype(np.float32)
+        coords = {"time": index, "y": np.arange(ny), "x": np.arange(nx)}
+        das = {}
+        for j in range(d):
+            cube = np.moveaxis(field[:, :, j].reshape(ny, nx, n_time), 2, 0)
+            das[f"v{j}"] = DataArray(cube, ("time", "y", "x"), coords)
+        return Dataset(das)
+
+    y_obs = grid(0.0, 1.0, 1)
+    x_hist = grid(1.0, 1.4, 2)
+    x_fut = grid(1.3, 1.4, 3)
+
+    def run():
+        oh, of = mbcn_grid(
+            y_obs, x_hist, x_fut,
+            n_iterations=n_rot, kind="difference", cell_chunk_size=chunk,
+        )
+        return float(np.nansum(np.asarray(of["v0"].values)))
+
+    run()  # compile (one chunk shape + one ragged tail shape)
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    # sort bound at scale: same per-row operand counts as bench_mbcn,
+    # rate measured on the chunk-shaped multi-payload sort
+    n = m = p = n_time
+    units = n_valid * d * (
+        (n + m + 4 * n + 4 * p)
+        + n_rot * (m + 4 * n + 8 * (n + p))
+        + 5 * n + 5 * p
+    )
+    keys = jax.device_put(
+        np.random.default_rng(1).standard_normal((chunk * d, n + p)).astype(np.float32)
+    )
+    pay = jnp.zeros(keys.shape, jnp.int32)
+    sortj = jax.jit(
+        lambda k, q: jax.lax.sort((k, q, q, q), num_keys=1, is_stable=True, dimension=1)[0]
+    )
+    float(jnp.sum(sortj(keys, pay)))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(sortj(keys, pay)))
+        ts.append(time.perf_counter() - t0)
+    rate = chunk * d * (n + p) * 4 / min(ts)
+    sort_bound_s = units / rate
+    return n_valid / dt, dt, sort_bound_s, sort_bound_s / dt, n_valid
 
 
 # v5e per-chip peaks used for the GARD kernel bounds (VERDICT r2 #4):
@@ -699,15 +795,23 @@ def main():
         )
         return
     if model == "daily":
-        cps, dt, nbytes = bench_daily(n_cells=n_cells if len(sys.argv) > 1 else 32768)
+        n = n_cells if len(sys.argv) > 1 else 32768
+        cpp = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+        n_chunks = -(-n // min(cpp, n))
+        cps, dt, nbytes = bench_daily(n_cells=n, cells_per_pass=cpp)
         bw = _device_peak_bw()
         hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
+        mode = (
+            "single pass"
+            if n_chunks == 1
+            else f"sustained, {n_chunks} chunks x {min(cpp, n)} cells incl. host transfers"
+        )
         print(
             json.dumps(
                 {
                     "metric": "daily_bcsd_fit_predict_throughput",
                     "value": round(cps, 1),
-                    "unit": "cells/sec (20y daily_nasa-nex BCSD fit+predict, single pass)",
+                    "unit": f"cells/sec (20y daily_nasa-nex BCSD fit+predict, {mode})",
                     "vs_baseline": round(cps / 0.5, 1),  # measured reference ~0.5 cells/s
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
                     "hbm_util": None if hbm_util is None else round(hbm_util, 3),
@@ -785,6 +889,26 @@ def main():
                     # per-cell numpy loop a scikit-downscale user would write
                     "vs_baseline": round(cps / ref_cps, 1),
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                    "sort_bound_s": round(sort_bound_s, 4),
+                    "binding": "lax.sort",
+                    "util_vs_bound": round(util, 3),
+                }
+            )
+        )
+        return
+    if model == "mbcn_grid":
+        n = n_cells if len(sys.argv) > 1 else 16384
+        chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+        cps, dt, sort_bound_s, util, n_valid = bench_mbcn_grid(n_cells=n, chunk=chunk)
+        print(
+            json.dumps(
+                {
+                    "metric": "mbcn_grid_throughput",
+                    "value": round(cps, 1),
+                    "unit": f"cells/sec sustained (mbcn_grid end-to-end, {n_valid}"
+                    f" valid cells, {chunk} cells/pass, d=3, 10y daily, 20 rotations)",
+                    # measured per-cell numpy loop, bench_mbcn's probe
+                    "vs_baseline": round(cps / 7.7, 1),
                     "sort_bound_s": round(sort_bound_s, 4),
                     "binding": "lax.sort",
                     "util_vs_bound": round(util, 3),

@@ -124,22 +124,24 @@ def interp_sortmerge_multi(xp, fps, q):
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
     n_fp = len(fps)
 
+    # Operand accounting (sorts are bandwidth-bound; every payload rides all
+    # log-passes): the knot/query flag IS ``pos == Q`` (knots carry pos=Q,
+    # queries their index), and the back sort needn't carry the query values
+    # — restored order makes them ``q`` itself.  4+6 operands -> 3+5 for one
+    # value table (measured on-chip on the MBCn loop: see bench.py mbcn).
     keys = jnp.concatenate([xp, q], axis=-1)  # (B, L+Q)
-    isq = jnp.concatenate(
-        [jnp.zeros((B, L), jnp.int32), jnp.ones((B, Q), jnp.int32)], axis=-1
-    )
     fvs = [jnp.concatenate([fp, jnp.zeros((B, Q), dtype)], axis=-1) for fp in fps]
     pos = jnp.concatenate(
         [jnp.full((B, L), Q, jnp.int32), jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (B, Q))],
         axis=-1,
     )
-    sorted_ops = jax.lax.sort(
-        (keys, isq, pos, *fvs), num_keys=1, is_stable=True, dimension=1
-    )
-    key_s, isq_s, pos_s = sorted_ops[:3]
-    fv_s = sorted_ops[3:]
+    # stable + knots first in concatenation order => tied knots sort before
+    # tied queries, reproducing np.searchsorted(side='right') bracketing
+    sorted_ops = jax.lax.sort((keys, pos, *fvs), num_keys=1, is_stable=True, dimension=1)
+    key_s, pos_s = sorted_ops[:2]
+    fv_s = sorted_ops[2:]
 
-    knot = isq_s == 0
+    knot = pos_s == Q
     x0 = jax.lax.cummax(jnp.where(knot, key_s, -inf), axis=1)
     x1 = jax.lax.cummin(jnp.where(knot, key_s, inf), axis=1, reverse=True)
     f0s = [jax.lax.cummax(jnp.where(knot, fv, -inf), axis=1) for fv in fv_s]
@@ -147,13 +149,13 @@ def interp_sortmerge_multi(xp, fps, q):
 
     # restore original query order: queries sort to the front by pos
     # (knots carry pos=Q and land behind every query)
-    order_key = pos_s * 2 + (1 - isq_s)  # knots (pos=Q) after queries
     back = jax.lax.sort(
-        (order_key, key_s, x0, x1, *f0s, *f1s), num_keys=1, is_stable=True, dimension=1
+        (pos_s, x0, x1, *f0s, *f1s), num_keys=1, is_stable=True, dimension=1
     )
-    qv, x0, x1 = (a[:, :Q] for a in back[1:4])
-    f0s = [a[:, :Q] for a in back[4 : 4 + n_fp]]
-    f1s = [a[:, :Q] for a in back[4 + n_fp :]]
+    qv = q  # the restored query keys are q itself — no need to sort them back
+    x0, x1 = (a[:, :Q] for a in back[1:3])
+    f0s = [a[:, :Q] for a in back[3 : 3 + n_fp]]
+    f1s = [a[:, :Q] for a in back[3 + n_fp :]]
 
     x0c = jnp.clip(x0, -big, big)
     x1c = jnp.clip(x1, -big, big)
