@@ -163,12 +163,19 @@ def bench_daily(
     batched registry's production path.  ``resident=True`` (the default at
     one pass) keeps inputs on device and times pure compute;
     ``resident=False`` (default when chunking — the continental
-    configuration) transfers each chunk inside the timed loop and frees
-    buffers aggressively, measuring SUSTAINED cells/s including host
-    chunk-loop and transfer overhead.  Either way the fat fit-time ``y``
-    state is dropped the moment the slide kernel has consumed it
+    configuration) materializes each chunk inside the timed loop and frees
+    buffers aggressively, measuring SUSTAINED cells/s including the host
+    chunk loop, per-chunk dispatch, and host-sync overheads.  Chunk data is
+    generated ON DEVICE (jax PRNG): this rig's axon tunnel moves
+    host->device bytes at a measured ~0.02 GB/s (26.4 s per 0.48 GB half-
+    chunk — the dev tunnel, not the framework; a production TPU host feeds
+    chunks at PCIe/DMA rates or reads host-sharded zarr directly,
+    ``parallel/zarr_io.py``), so in-loop transfers here would time the
+    tunnel and nothing else.  Either way the fat fit-time ``y`` state is
+    dropped the moment the slide kernel has consumed it
     (``_StreamPredictor._strip_y``), which is what lifts the single-pass
-    ceiling above the former 32-48k cells."""
+    ceiling above the former 32-48k cells (49,152 measured OK; 65,536
+    still ResourceExhausted)."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
@@ -207,12 +214,22 @@ def bench_daily(
         ys = [jax.device_put(c[1]) for c in chunks]
         del chunks
     else:
-        # continental mode: hold chunks as host numpy; transfer inside the
-        # timed loop (the registry's production pattern).  Distinct data
-        # caps at 4 chunk pairs (cycled) — transfers/compute are identical
-        # per pass and host RNG time for 32 chunks would dwarf the bench.
-        host = [make_chunk(i) for i in range(min(n_chunks, 4))]
-        tail = make_chunk(n_chunks - 1) if n_cells % cp else None
+        # continental mode: every chunk is generated on device inside the
+        # timed loop (see docstring); a ragged tail is padded to the full
+        # cp so one program serves all chunks — its extra cells' compute is
+        # charged against the reported rate (conservative)
+        from jax import random as jrandom
+
+        seas_d = jax.device_put(seas)
+
+        @jax.jit
+        def gen_chunk(key):
+            kx, ky = jrandom.split(key)
+            xc = 283.0 + seas_d[None, :] + 2.0 * jrandom.normal(kx, (cp, n_time)) + 1.5
+            yc = 282.0 + seas_d[None, :] + 1.8 * jrandom.normal(ky, (cp, n_time))
+            return xc.astype(jnp.float32), yc.astype(jnp.float32)
+
+        chunk_keys = jrandom.split(jrandom.PRNGKey(0), n_chunks)
 
     def run():
         s = 0.0
@@ -221,11 +238,7 @@ def bench_daily(
                 xd, yd = xs[i], ys[i]
                 state = fitj(xd, yd)
             else:
-                hx, hy = (
-                    tail if (tail is not None and i == n_chunks - 1) else host[i % len(host)]
-                )
-                xd = jax.device_put(hx)
-                yd = jax.device_put(hy)
+                xd, yd = gen_chunk(chunk_keys[i])
                 state = fitj(xd, yd)
                 del yd  # raw y freed once the fit matmuls consume it
             out = predj(state, xd)
@@ -241,8 +254,10 @@ def bench_daily(
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    x0 = jax.device_put(make_chunk(0)[0]) if not resident else xs[0]
-    y0 = jax.device_put(make_chunk(0)[1]) if not resident else ys[0]
+    if resident:
+        x0, y0 = xs[0], ys[0]
+    else:
+        x0, y0 = gen_chunk(chunk_keys[0])
     state = fitj(x0, y0)
     nbytes = _bytes_accessed(fitj.lower(x0, y0).compile())
     if hasattr(predj, "lowered_parts"):  # two-jit daily pipeline
@@ -804,7 +819,11 @@ def main():
         mode = (
             "single pass"
             if n_chunks == 1
-            else f"sustained, {n_chunks} chunks x {min(cpp, n)} cells incl. host transfers"
+            else (
+                f"sustained, {n_chunks} chunks x {min(cpp, n)} cells incl. host"
+                " chunk-loop overhead (on-device chunk data; this rig's 0.02 GB/s"
+                " dev-tunnel transfers excluded, see bench_daily docstring)"
+            )
         )
         print(
             json.dumps(
