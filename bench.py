@@ -350,7 +350,7 @@ def bench_reference(n_cells=8, n_time=480):
     return n_cells / dt
 
 
-def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31):
+def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31, cells_per_pass=32768):
     """Day-of-year z-score bias correction over a grid (ZScoreRegressor):
     fit = (year, doy) gather + pooled 31-day windowed masked stats; predict =
     centered rolling mean/std + affine correction.  All convolutions and
@@ -358,7 +358,13 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31):
     requires xarray (ref ``zscore.py:162-193``), absent from this image, so
     the baseline is this package's own single-cell estimator looped per cell
     (measured on a subset; the reference's per-cell xarray path is strictly
-    slower than that)."""
+    slower than that).
+
+    Above ``cells_per_pass`` (32k is the single-pass HBM ceiling — 65k
+    measured ResourceExhausted) the run chunks the cell axis like the
+    batched registry and reports SUSTAINED cells/s including the host chunk
+    loop; chunk data is generated on device for the same tunnel reason as
+    :func:`bench_daily`."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
@@ -373,9 +379,9 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31):
     rng = np.random.default_rng(0)
     index = pd.date_range("1990-01-01", periods=n_years * 365 + 5, freq="D")
     n_time = len(index)
-    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25)
-    x = (283.0 + seas[None, :] + rng.normal(0, 2, (n_cells, n_time)) + 1.5).astype(np.float32)
-    y = (282.0 + seas[None, :] + rng.normal(0, 1.8, (n_cells, n_time))).astype(np.float32)
+    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25).astype(np.float32)
+    cp = min(cells_per_pass, n_cells)
+    n_chunks = -(-n_cells // cp)
 
     idx, mask = build_year_doy_table(index)
     inds = expand_indices(n_time)
@@ -386,12 +392,43 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31):
     predj = jax.jit(
         jax.vmap(lambda s, xx: zscore_predict(s, xx, indsd, window=window)[0])
     )
-    xd, yd = jax.device_put(x), jax.device_put(y)
 
-    def run():
-        state = fitj(xd, yd)
-        out = predj(state, xd)
-        return float(jnp.nansum(out))
+    if n_chunks == 1:
+        x = (283.0 + seas[None, :] + rng.normal(0, 2, (cp, n_time)) + 1.5).astype(np.float32)
+        y = (282.0 + seas[None, :] + rng.normal(0, 1.8, (cp, n_time))).astype(np.float32)
+        xd, yd = jax.device_put(x), jax.device_put(y)
+
+        def run():
+            state = fitj(xd, yd)
+            out = predj(state, xd)
+            return float(jnp.nansum(out))
+    else:
+        from jax import random as jrandom
+
+        seas_d = jax.device_put(seas)
+
+        @jax.jit
+        def gen_chunk(key):
+            kx, ky = jrandom.split(key)
+            xc = 283.0 + seas_d[None, :] + 2.0 * jrandom.normal(kx, (cp, n_time)) + 1.5
+            yc = 282.0 + seas_d[None, :] + 1.8 * jrandom.normal(ky, (cp, n_time))
+            return xc.astype(jnp.float32), yc.astype(jnp.float32)
+
+        chunk_keys = jrandom.split(jrandom.PRNGKey(0), n_chunks)
+
+        def run():
+            s = 0.0
+            for i in range(n_chunks):
+                xd_, yd_ = gen_chunk(chunk_keys[i])
+                state = fitj(xd_, yd_)
+                del yd_
+                out = predj(state, xd_)
+                del state
+                s += float(jnp.nansum(out))
+                del out, xd_
+            return s
+
+        xd, yd = gen_chunk(chunk_keys[0])
 
     run()
     times = []
@@ -401,17 +438,19 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     state = fitj(xd, yd)
-    nbytes = _bytes_accessed(fitj.lower(xd, yd).compile()) + _bytes_accessed(
-        predj.lower(state, xd).compile()
-    )
+    nbytes = (
+        _bytes_accessed(fitj.lower(xd, yd).compile())
+        + _bytes_accessed(predj.lower(state, xd).compile())
+    ) * n_chunks
 
     # per-cell loop baseline (8 cells, linear cost)
     from skdownscale_tpu.models.zscore import ZScoreRegressor
 
+    x8, y8 = np.asarray(xd[:8]), np.asarray(yd[:8])  # host probe cells
     t0 = time.perf_counter()
     for c in range(8):
-        xdf = pd.DataFrame({"v": x[c]}, index=index)
-        ydf = pd.DataFrame({"v": y[c]}, index=index)
+        xdf = pd.DataFrame({"v": x8[c]}, index=index)
+        ydf = pd.DataFrame({"v": y8[c]}, index=index)
         m = ZScoreRegressor(window_width=window).fit(xdf, ydf)
         m.predict(xdf)
     ref_cps = 8 / (time.perf_counter() - t0)
@@ -878,15 +917,22 @@ def main():
         # ResourceExhausted on the 16 GB chip.  Larger grids chunk via the
         # batched registry / cell_chunk_size.
         n = n_cells if len(sys.argv) > 1 else 32768
-        cps, dt, nbytes, ref_cps = bench_zscore(n_cells=n)
+        cpp = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+        n_chunks = -(-n // min(cpp, n))
+        cps, dt, nbytes, ref_cps = bench_zscore(n_cells=n, cells_per_pass=cpp)
         bw = _device_peak_bw()
         hbm_util = (nbytes / dt / bw) if (bw and nbytes == nbytes) else None
+        mode = (
+            "single pass"
+            if n_chunks == 1
+            else f"sustained, {n_chunks} chunks x {min(cpp, n)} cells"
+        )
         print(
             json.dumps(
                 {
                     "metric": "zscore_fit_predict_throughput",
                     "value": round(cps, 1),
-                    "unit": "cells/sec (20y daily DOY z-score fit+predict)",
+                    "unit": f"cells/sec (20y daily DOY z-score fit+predict, {mode})",
                     "vs_baseline": round(cps / ref_cps, 1),  # per-cell loop rate
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
                     "hbm_util": None if hbm_util is None else round(hbm_util, 3),
