@@ -39,7 +39,9 @@ class ZarrGridSource:
     def __init__(self, store: str, var: str | None = None):
         import os
 
-        if os.path.exists(os.path.join(store, ".zgroup")):
+        if os.path.exists(os.path.join(store, ".zgroup")) or (
+            zarrlite._v3_node_type(store) == "group"
+        ):
             grp = zarrlite.open_group(store)
             if var is None:
                 keys = [k for k in grp.array_keys() if k != "time"]

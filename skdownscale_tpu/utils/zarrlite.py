@@ -21,8 +21,20 @@ numpy + stdlib codecs:
   decoder in ``native/zstdlite.cpp``.  Blosc frames using bitshuffle, delta,
   or snappy/zlib/blosclz inner codecs raise a clear error.
 
-zarr **v3** stores (``zarr.json`` metadata) are detected and rejected with
-an error naming the gap — this reader implements the v2 format only.
+zarr **v3** stores (``zarr.json`` metadata,
+https://zarr-specs.readthedocs.io/en/latest/v3/core/index.html) are read and
+written too (round 4; zarr-python 3 writes v3 by default, so real-world
+stores increasingly are v3):
+
+* ``chunk_grid`` ``regular``; ``chunk_key_encoding`` ``default`` (``c/0/1``
+  nested keys) and ``v2`` (flat ``0.1``), either separator
+* codec chains ``[transpose?] -> bytes -> [blosc|zstd|gzip|zlib]* [crc32c?]``
+  — the ``bytes`` codec's endianness is honored, ``transpose`` only as the
+  identity permutation, ``crc32c`` suffixes are stripped (not verified —
+  castagnoli CRC in pure python would dominate read time), and
+  ``sharding_indexed`` raises a clear error naming the gap
+* groups: ``node_type: group`` with members discovered by directory scan
+  (v3 has no central manifest); attributes live inside ``zarr.json``
 
 Stores written by this module are readable by real ``zarr`` and vice versa
 (within the codec subset).  The API mirrors the tiny slice of zarr-python
@@ -106,20 +118,73 @@ def _read_json(path):
         return json.load(f)
 
 
-def _reject_v3(path):
-    """Name the gap clearly: zarr v3 stores carry a ``zarr.json`` instead of
-    ``.zarray``/``.zgroup``; this module implements the v2 format only."""
-    if not os.path.exists(os.path.join(path, "zarr.json")):
-        return
-    if os.path.exists(os.path.join(path, ".zarray")) or os.path.exists(
-        os.path.join(path, ".zgroup")
-    ):
-        return  # dual-format store: read the v2 half
-    raise NotImplementedError(
-        f"{path} is a zarr v3 store (zarr.json metadata); zarrlite implements "
-        "the zarr v2 directory format only — re-write the store with "
-        "zarr_format=2 (zarr-python: zarr.save(..., zarr_format=2))"
-    )
+# v3 core data types <-> numpy (endianness comes from the `bytes` codec)
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
+    "complex64": "c8", "complex128": "c16",
+}
+_V3_DTYPE_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+
+
+def _parse_v3_codecs(codecs, ndim):
+    """Split a v3 codec chain into (endian, [bytes->bytes codec specs]).
+
+    The chain is ``array->array`` transforms, then exactly one
+    ``array->bytes`` codec (``bytes``), then ``bytes->bytes`` compressors in
+    application order.  Unsupported members raise naming the gap."""
+    endian = "little"
+    compressors = []
+    seen_bytes = False
+    for c in codecs or [{"name": "bytes"}]:
+        name = c.get("name")
+        conf = c.get("configuration") or {}
+        if name == "transpose":
+            order = list(conf.get("order", []))
+            if order != list(range(ndim)):
+                raise NotImplementedError(
+                    f"zarr v3 transpose codec with order {order} is not "
+                    "supported (identity permutation only)"
+                )
+        elif name in ("bytes", "endian"):  # 'endian' was the draft name
+            endian = conf.get("endian", "little")
+            seen_bytes = True
+        elif name in ("blosc", "zstd", "gzip", "zlib", "crc32c"):
+            compressors.append((name, conf))
+        elif name == "sharding_indexed":
+            raise NotImplementedError(
+                "zarr v3 sharding_indexed stores are not supported by "
+                "zarrlite — re-write the store without the sharding codec "
+                "(zarr-python: shards=None)"
+            )
+        else:
+            raise NotImplementedError(f"unsupported zarr v3 codec {name!r}")
+    if not seen_bytes:
+        raise NotImplementedError(
+            "zarr v3 codec chain has no 'bytes' (array->bytes) codec"
+        )
+    return endian, compressors
+
+
+def _decode_v3_chain(buf, compressors, nbytes):
+    """Apply the bytes->bytes codecs in reverse (decode) order."""
+    for i, (name, conf) in enumerate(reversed(compressors)):
+        innermost = i == len(compressors) - 1
+        if name == "crc32c":
+            buf = buf[:-4]  # stored checksum suffix; see module docstring
+        elif name == "blosc":
+            from .native import blosc_decompress
+
+            buf = blosc_decompress(buf)
+        elif name == "zstd":
+            from .native import zstd_decompress
+
+            buf = zstd_decompress(buf, nbytes if innermost else None)
+        elif name in ("gzip", "zlib"):
+            buf = zlib.decompress(buf, wbits=47)
+    return buf
 
 
 def _attrs(dirpath):
@@ -128,35 +193,82 @@ def _attrs(dirpath):
 
 
 class ZarrArray:
-    """Read-only zarr v2 array backed by a local directory store."""
+    """Read-only zarr array (v2 or v3) backed by a local directory store."""
 
     def __init__(self, path: str):
         self.path = path
-        _reject_v3(path)
-        meta = _read_json(os.path.join(path, ".zarray"))
+        if os.path.exists(os.path.join(path, ".zarray")):
+            self._init_v2(_read_json(os.path.join(path, ".zarray")))
+        elif os.path.exists(os.path.join(path, "zarr.json")):
+            self._init_v3(_read_json(os.path.join(path, "zarr.json")))
+        else:
+            raise ValueError(f"not a zarr array: {path}")
+        self.ndim = len(self.shape)
+
+    def _init_v2(self, meta):
         if meta.get("zarr_format") != 2:
-            raise ValueError(f"not a zarr v2 array: {path}")
+            raise ValueError(f"not a zarr v2 array: {self.path}")
         if meta.get("filters"):
             raise ValueError("zarr filters are not supported by this minimal reader")
+        self.zarr_format = 2
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
         self.order = meta.get("order", "C")
         self.compressor = meta.get("compressor")
         self.fill_value = _fill_scalar(meta.get("fill_value"), self.dtype)
-        self.sep = meta.get("dimension_separator", ".")
-        self.attrs = _attrs(path)
-        self.ndim = len(self.shape)
+        sep = meta.get("dimension_separator", ".")
+        self._key = lambda idx: sep.join(str(i) for i in idx)
+        self.attrs = _attrs(self.path)
+
+    def _init_v3(self, meta):
+        if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+            raise ValueError(f"not a zarr v3 array: {self.path}")
+        self.zarr_format = 3
+        self.shape = tuple(meta["shape"])
+        grid = meta.get("chunk_grid", {})
+        if grid.get("name") != "regular":
+            raise NotImplementedError(
+                f"zarr v3 chunk_grid {grid.get('name')!r} is not supported (regular only)"
+            )
+        self.chunks = tuple(grid["configuration"]["chunk_shape"])
+        base = _V3_DTYPES.get(meta.get("data_type"))
+        if base is None:
+            raise NotImplementedError(
+                f"zarr v3 data_type {meta.get('data_type')!r} is not supported"
+            )
+        endian, self._v3_compressors = _parse_v3_codecs(
+            meta.get("codecs"), len(self.shape)
+        )
+        self.dtype = np.dtype(("<" if endian == "little" else ">") + base)
+        self.order = "C"
+        self.compressor = None
+        self.fill_value = _fill_scalar(meta.get("fill_value"), self.dtype)
+        enc = meta.get("chunk_key_encoding", {"name": "default"})
+        sep = (enc.get("configuration") or {}).get("separator", "/" if enc.get("name") == "default" else ".")
+        if enc.get("name") == "default":
+            self._key = lambda idx: "c" + "".join(sep + str(i) for i in idx)
+        elif enc.get("name") == "v2":
+            self._key = lambda idx: sep.join(str(i) for i in idx) or "0"
+        else:
+            raise NotImplementedError(
+                f"zarr v3 chunk_key_encoding {enc.get('name')!r} is not supported"
+            )
+        self.attrs = meta.get("attributes", {}) or {}
 
     def _chunk(self, idx) -> np.ndarray:
-        """One chunk as a (chunks,) ndarray (edge chunks are full-size in v2)."""
-        key = self.sep.join(str(i) for i in idx)
-        p = os.path.join(self.path, key)
+        """One chunk as a (chunks,) ndarray (edge chunks are stored full-size
+        and fill-padded in both v2 and v3)."""
+        p = os.path.join(self.path, self._key(idx))
         if not os.path.exists(p):
             return np.full(self.chunks, self.fill_value, self.dtype)
         nbytes = int(np.prod(self.chunks)) * self.dtype.itemsize
         with open(p, "rb") as f:
-            raw = _decompress(f.read(), self.compressor, nbytes)
+            raw = f.read()
+        if self.zarr_format == 2:
+            raw = _decompress(raw, self.compressor, nbytes)
+        else:
+            raw = _decode_v3_chain(raw, self._v3_compressors, nbytes)
         a = np.frombuffer(raw, dtype=self.dtype)
         return a.reshape(self.chunks, order=self.order)
 
@@ -211,36 +323,53 @@ class ZarrArray:
         return a if dtype is None else a.astype(dtype)
 
 
+def _v3_node_type(path):
+    p = os.path.join(path, "zarr.json")
+    if not os.path.exists(p):
+        return None
+    return _read_json(p).get("node_type")
+
+
 class ZarrGroup:
-    """Read-only zarr v2 group: named member arrays / subgroups."""
+    """Read-only zarr group (v2 or v3): named member arrays / subgroups."""
 
     def __init__(self, path: str):
         self.path = path
-        _reject_v3(path)
-        if not os.path.exists(os.path.join(path, ".zgroup")):
+        if os.path.exists(os.path.join(path, ".zgroup")):
+            self.zarr_format = 2
+            self.attrs = _attrs(path)
+        elif _v3_node_type(path) == "group":
+            self.zarr_format = 3
+            self.attrs = _read_json(os.path.join(path, "zarr.json")).get("attributes", {}) or {}
+        else:
             raise ValueError(f"not a zarr group: {path}")
-        self.attrs = _attrs(path)
+
+    @staticmethod
+    def _is_array(sub):
+        return os.path.exists(os.path.join(sub, ".zarray")) or _v3_node_type(sub) == "array"
+
+    @staticmethod
+    def _is_group(sub):
+        return os.path.exists(os.path.join(sub, ".zgroup")) or _v3_node_type(sub) == "group"
 
     def array_keys(self):
         out = []
         for name in sorted(os.listdir(self.path)):
-            if os.path.exists(os.path.join(self.path, name, ".zarray")):
+            if self._is_array(os.path.join(self.path, name)):
                 out.append(name)
         return out
 
     def __getitem__(self, name: str):
         sub = os.path.join(self.path, name)
-        if os.path.exists(os.path.join(sub, ".zarray")):
+        if self._is_array(sub):
             return ZarrArray(sub)
-        if os.path.exists(os.path.join(sub, ".zgroup")):
+        if self._is_group(sub):
             return ZarrGroup(sub)
         raise KeyError(name)
 
     def __contains__(self, name: str) -> bool:
         sub = os.path.join(self.path, name)
-        return os.path.exists(os.path.join(sub, ".zarray")) or os.path.exists(
-            os.path.join(sub, ".zgroup")
-        )
+        return self._is_array(sub) or self._is_group(sub)
 
 
 def _write_json(path, obj):
@@ -252,12 +381,15 @@ def _fill_json(dtype):
     return "NaN" if np.issubdtype(dtype, np.floating) else 0
 
 
-def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None):
-    """Write ``arr`` as a zarr v2 array directory at ``path``.
+def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None, zarr_format=2):
+    """Write ``arr`` as a zarr array directory at ``path``.
 
     ``chunks=None`` stores one chunk per array; ``compressor`` is ``'zlib'``,
     ``'gzip'``, ``'blosc'`` (lz4 + byte-shuffle, numcodecs-style metadata,
-    readable by real zarr-python) or ``None`` (raw).
+    readable by real zarr-python) or ``None`` (raw).  ``zarr_format=3``
+    writes the v3 layout (``zarr.json``, ``bytes`` + compressor codec chain,
+    nested ``c/``-keys); zstd compression is decode-only here, so v3 writes
+    use the same codec set as v2.
     """
     arr = np.ascontiguousarray(arr)
     if chunks is None:
@@ -270,47 +402,119 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None):
     else:
         comp = {"id": compressor, "level": 5}
     os.makedirs(path, exist_ok=True)
-    _write_json(
-        os.path.join(path, ".zarray"),
-        {
-            "zarr_format": 2,
-            "shape": list(arr.shape),
-            "chunks": list(chunks),
-            "dtype": arr.dtype.str,
-            "compressor": comp,
-            "fill_value": _fill_json(arr.dtype),
-            "order": "C",
-            "filters": None,
-            "dimension_separator": ".",
-        },
-    )
-    if attrs:
-        _write_json(os.path.join(path, ".zattrs"), attrs)
+    if zarr_format == 2:
+        _write_json(
+            os.path.join(path, ".zarray"),
+            {
+                "zarr_format": 2,
+                "shape": list(arr.shape),
+                "chunks": list(chunks),
+                "dtype": arr.dtype.str,
+                "compressor": comp,
+                "fill_value": _fill_json(arr.dtype),
+                "order": "C",
+                "filters": None,
+                "dimension_separator": ".",
+            },
+        )
+        if attrs:
+            _write_json(os.path.join(path, ".zattrs"), attrs)
+
+        def key(idx):
+            return ".".join(str(i) for i in idx)
+
+    elif zarr_format == 3:
+        base = arr.dtype.str.lstrip("<>|=")
+        name = _V3_DTYPE_NAMES.get(base)
+        if name is None:
+            raise ValueError(f"dtype {arr.dtype} has no zarr v3 core data type")
+        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        if comp is not None:
+            cid = comp["id"]
+            if cid == "blosc":
+                codecs.append(
+                    {
+                        "name": "blosc",
+                        "configuration": {
+                            "cname": "lz4",
+                            "clevel": 5,
+                            "shuffle": "shuffle",
+                            "typesize": arr.dtype.itemsize,
+                            "blocksize": 0,
+                        },
+                    }
+                )
+            elif cid in ("zlib", "gzip"):
+                # v3 has no zlib codec name; write gzip (wbits=47 reads both)
+                codecs.append({"name": "gzip", "configuration": {"level": 5}})
+                comp = {"id": "gzip", "level": 5}
+            else:
+                raise ValueError(f"compressor {cid!r} unsupported for v3 writes")
+        fv = _fill_json(arr.dtype)
+        _write_json(
+            os.path.join(path, "zarr.json"),
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(arr.shape),
+                "data_type": name,
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(chunks)},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": fv,
+                "codecs": codecs,
+                "attributes": attrs or {},
+            },
+        )
+        arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+
+        def key(idx):
+            p = "c" + "".join("/" + str(i) for i in idx)
+            os.makedirs(os.path.join(path, os.path.dirname(p)), exist_ok=True)
+            return p
+
+    else:
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     n_chunks = [-(-s // c) for s, c in zip(arr.shape, chunks)]
     for idx in np.ndindex(*n_chunks):
         sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
         block = arr[sel]
-        if block.shape != chunks:  # v2 edge chunks are stored full-size
+        if block.shape != chunks:  # edge chunks are stored full-size
             full = np.full(chunks, _fill_scalar(_fill_json(arr.dtype), arr.dtype), arr.dtype)
             full[tuple(slice(0, s) for s in block.shape)] = block
             block = full
         buf = _compress(np.ascontiguousarray(block).tobytes(), comp, arr.dtype.itemsize)
-        key = ".".join(str(i) for i in idx)
-        with open(os.path.join(path, key), "wb") as f:
+        with open(os.path.join(path, key(idx)), "wb") as f:
             f.write(buf)
     return path
 
 
-def save_group(path, arrays: dict, *, chunks=None, compressor="zlib", attrs=None):
-    """Write a zarr v2 group of named arrays.  ``chunks`` may be a dict
-    (per-array) or one tuple for all."""
+def save_group(path, arrays: dict, *, chunks=None, compressor="zlib", attrs=None, zarr_format=2):
+    """Write a zarr group (v2 or v3) of named arrays.  ``chunks`` may be a
+    dict (per-array) or one tuple for all."""
     os.makedirs(path, exist_ok=True)
-    _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
-    if attrs:
-        _write_json(os.path.join(path, ".zattrs"), attrs)
+    if zarr_format == 2:
+        _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+        if attrs:
+            _write_json(os.path.join(path, ".zattrs"), attrs)
+    elif zarr_format == 3:
+        _write_json(
+            os.path.join(path, "zarr.json"),
+            {"zarr_format": 3, "node_type": "group", "attributes": attrs or {}},
+        )
+    else:
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     for name, arr in arrays.items():
         c = chunks.get(name) if isinstance(chunks, dict) else chunks
-        save_array(os.path.join(path, name), arr, chunks=c, compressor=compressor)
+        save_array(
+            os.path.join(path, name), arr, chunks=c, compressor=compressor,
+            zarr_format=zarr_format,
+        )
     return path
 
 
