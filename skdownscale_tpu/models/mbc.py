@@ -326,7 +326,12 @@ def mbcn_grid(
 
     def pack(ds):
         first = ds[variables[0]]
-        arrs = [np.asarray(ds[v].values, dtype=np.float64) for v in variables]
+        # keep the input dtype: float32 grids transfer half the bytes of a
+        # float64 upcast and mbcn_correct computes in float32 on TPU anyway
+        arrs = []
+        for v in variables:
+            a = np.asarray(ds[v].values)
+            arrs.append(a if np.issubdtype(a.dtype, np.floating) else a.astype(np.float64))
         T = arrs[0].shape[0]
         spatial = arrs[0].shape[1:]
         flat = np.stack([a.reshape(T, -1) for a in arrs], axis=-1)  # (T, C, d)
