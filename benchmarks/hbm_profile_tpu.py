@@ -26,7 +26,8 @@ whatever the binding stage allows; ``est / bw_bound`` > 1 proves the
 program-level estimate over-counts and by how much.
 
 Run AFTER any other TPU job finishes (one chip):
-    python benchmarks/hbm_profile_tpu.py [config2_cells] [config5_cells]
+    python benchmarks/hbm_profile_tpu.py [2] [5] [2b]
+(default: 2 5; "2b" adds the 1M monthly streaming pass)
 """
 
 import glob
@@ -171,8 +172,42 @@ def config5(n_cells=32768, n_years=20):
     capture("daily_stream_32k", run, lowered)
 
 
+def config2b(n_cells=1048576, n_time=480):
+    """The 1M monthly STREAMING single pass (BASELINE 2b, hbm_util 0.426 —
+    the least-saturated BCSD config; this capture splits its gap between
+    dispatch idle, Pallas kernel time, and XLA bandwidth)."""
+    from skdownscale_tpu.models.bcsd import (
+        BcsdTemperature,
+        _jit_fit_lazy,
+        _jit_predict_stream,
+    )
+
+    index, x, y = _example(n_cells, n_time)
+    model = BcsdTemperature(return_anoms=False)
+    fg = model._fit_groups(index)
+    plan = model._predict_plan(fg, index)
+    fitj = _jit_fit_lazy(fg, True)
+    predj = _jit_predict_stream(plan, "temperature", False, 0.4, 0.4, "both", 10, False, 2)
+    xd, yd = jax.device_put(x), jax.device_put(y)
+
+    def run():
+        state = fitj(xd, yd)
+        return float(jnp.sum(predj(state, xd)))
+
+    state = fitj(xd, yd)
+    lowered = [fitj.lower(xd, yd)]
+    if hasattr(predj, "lowered_parts"):
+        lowered += predj.lowered_parts(state, xd)
+    else:
+        lowered.append(predj.lower(state, xd))
+    capture("monthly_stream_1m", run, lowered)
+
+
 if __name__ == "__main__":
-    c2 = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
-    c5 = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
-    config2(c2)
-    config5(c5)
+    configs = sys.argv[1:] or ["2", "5"]
+    if "2" in configs:
+        config2()
+    if "5" in configs:
+        config5()
+    if "2b" in configs:
+        config2b()

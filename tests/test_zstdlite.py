@@ -125,14 +125,32 @@ def test_malformed_frames_raise():
         zstd_decompress(_frame_raw(b"abc"), 5)  # size mismatch vs caller
 
 
-def test_zarr_v3_store_rejected(tmp_path):
+def test_zarr_v3_store_opens(tmp_path):
+    """Round 3 rejected v3 with a clear error; round 4 implements it — a
+    minimal v3 array now opens, and unsupported v3 features (sharding)
+    still raise naming the gap (full coverage: tests/test_zarr_io.py)."""
     p = tmp_path / "v3.zarr"
     p.mkdir()
-    (p / "zarr.json").write_text(json.dumps({"zarr_format": 3, "node_type": "array"}))
-    with pytest.raises(NotImplementedError, match="zarr v3"):
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [4],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0.0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+    }
+    (p / "zarr.json").write_text(json.dumps(meta))
+    (p / "c").mkdir()
+    (p / "c" / "0").write_bytes(np.arange(4, dtype="<f4").tobytes())
+    np.testing.assert_array_equal(
+        np.asarray(zarrlite.open_array(str(p))), np.arange(4, dtype=np.float32)
+    )
+    meta["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
+    (p / "zarr.json").write_text(json.dumps(meta))
+    with pytest.raises(NotImplementedError, match="sharding"):
         zarrlite.open_array(str(p))
-    with pytest.raises(NotImplementedError, match="zarr v3"):
-        zarrlite.open_group(str(p))
 
 
 # ---------------------------------------------------------------------------
