@@ -9,8 +9,9 @@ the store's chunk grid, and :func:`feed_cells` assembles the global
 cell-sharded device array (DCN carries only the input feed; SURVEY §7.6).
 
 Stores are read with :mod:`skdownscale_tpu.utils.zarrlite` (dependency-free
-zarr v2); a real ``zarr``-written store works as long as its codec is
-null/zlib/gzip.
+zarr **v2 and v3**); a real ``zarr``-written store works as long as its
+codec chain is null/zlib/gzip/blosc(lz4|zstd)/zstd (see the zarrlite module
+docstring for the exact v2/v3 feature matrix).
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ class ZarrGridSource:
     Parameters
     ----------
     store : str
-        Path to a zarr v2 array, or a group containing ``var`` (and
+        Path to a zarr (v2 or v3) array, or a group containing ``var`` (and
         optionally a 1-D ``time`` member; ``int64`` time values with attr
         ``{"kind": "datetime64[ns]"}`` round-trip a pandas DatetimeIndex).
     var : str, optional

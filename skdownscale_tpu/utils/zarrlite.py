@@ -110,6 +110,16 @@ def _fill_scalar(fill_value, dtype):
             return np.asarray(np.inf, dtype)
         if fill_value == "-Infinity":
             return np.asarray(-np.inf, dtype)
+        if fill_value.startswith(("0x", "0X")) and np.issubdtype(dtype, np.floating):
+            # v3 spec: float fills may be raw-bit hex strings (NaN payloads)
+            size = np.dtype(dtype).itemsize
+            bits = np.asarray(int(fill_value, 16), np.dtype(f"u{size}"))
+            return np.asarray(bits.view(np.dtype(f"f{size}")), dtype)
+    if isinstance(fill_value, (list, tuple)) and np.issubdtype(dtype, np.complexfloating):
+        # v3 spec: complex fills are [re, im] pairs (each possibly "NaN" etc.)
+        ftype = np.dtype(f"f{np.dtype(dtype).itemsize // 2}")
+        re, im = (_fill_scalar(v, ftype) for v in fill_value)
+        return np.asarray(complex(re, im), dtype)
     return np.asarray(fill_value, dtype)
 
 
@@ -142,6 +152,11 @@ def _parse_v3_codecs(codecs, ndim):
         name = c.get("name")
         conf = c.get("configuration") or {}
         if name == "transpose":
+            if seen_bytes or compressors:
+                raise ValueError(
+                    "malformed zarr v3 codec chain: array->array 'transpose' "
+                    "appears after the array->bytes stage"
+                )
             order = list(conf.get("order", []))
             if order != list(range(ndim)):
                 raise NotImplementedError(
@@ -149,9 +164,19 @@ def _parse_v3_codecs(codecs, ndim):
                     "supported (identity permutation only)"
                 )
         elif name in ("bytes", "endian"):  # 'endian' was the draft name
+            if seen_bytes or compressors:
+                raise ValueError(
+                    "malformed zarr v3 codec chain: duplicate or misplaced "
+                    "'bytes' (array->bytes) codec"
+                )
             endian = conf.get("endian", "little")
             seen_bytes = True
         elif name in ("blosc", "zstd", "gzip", "zlib", "crc32c"):
+            if not seen_bytes:
+                raise ValueError(
+                    f"malformed zarr v3 codec chain: bytes->bytes codec "
+                    f"{name!r} appears before the 'bytes' (array->bytes) codec"
+                )
             compressors.append((name, conf))
         elif name == "sharding_indexed":
             raise NotImplementedError(

@@ -530,3 +530,66 @@ def test_v3_grid_source(tmp_path, rng):
     for name, a in (("x", x), ("y", y)):
         src = ZarrGridSource(str(tmp_path / "g3.zarr"), var=name)
         npt.assert_array_equal(src.read_cells(0, ny * nx), a.reshape(T, -1).T)
+
+
+def test_v3_hex_and_complex_fill_values(tmp_path):
+    import json
+    import os
+
+    # float hex-bit fill (zarr-python writes NaN payloads this way)
+    root = tmp_path / "hexfill.zarr"
+    os.makedirs(root)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [4],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": "0x7fc00000",
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+    }
+    (root / "zarr.json").write_text(json.dumps(meta))
+    out = np.asarray(zarrlite.open_array(str(root)))  # no chunk -> all fill
+    assert np.isnan(out).all()
+
+    # complex fill as a [re, im] pair + complex round-trip through the writer
+    a = (np.arange(8) + 1j * np.arange(8)).astype(np.complex64).reshape(2, 4)
+    p = zarrlite.save_array(str(tmp_path / "cplx.zarr"), a, zarr_format=3)
+    npt.assert_array_equal(np.asarray(zarrlite.open_array(p)), a)
+    root2 = tmp_path / "cplxfill.zarr"
+    os.makedirs(root2)
+    meta2 = dict(meta, data_type="complex64", fill_value=[1.5, "NaN"])
+    (root2 / "zarr.json").write_text(json.dumps(meta2))
+    out2 = np.asarray(zarrlite.open_array(str(root2)))
+    assert (out2.real == 1.5).all() and np.isnan(out2.imag).all()
+
+
+def test_v3_malformed_codec_order_raises(tmp_path):
+    import json
+    import os
+
+    def mk(name, codecs):
+        root = tmp_path / name
+        os.makedirs(root)
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [4],
+            "data_type": "float32",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+            "chunk_key_encoding": {"name": "default"},
+            "fill_value": 0,
+            "codecs": codecs,
+        }
+        (root / "zarr.json").write_text(json.dumps(meta))
+        return str(root)
+
+    bad = [
+        [{"name": "gzip"}, {"name": "bytes"}],  # compressor before bytes
+        [{"name": "bytes"}, {"name": "bytes"}],  # duplicate bytes
+        [{"name": "bytes"}, {"name": "transpose", "configuration": {"order": [0]}}],
+    ]
+    for i, codecs in enumerate(bad):
+        with pytest.raises(ValueError, match="malformed"):
+            zarrlite.open_array(mk(f"bad{i}", codecs))

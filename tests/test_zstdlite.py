@@ -11,7 +11,8 @@ test tiers:
    checksums, without content size, and with long-distance matching;
 3. end-to-end: a zarr v2 store whose chunks libzstd wrote (numcodecs-style
    ``{"id": "zstd"}`` metadata), and hand-framed blosc-zstd chunks (split
-   and non-split stream layouts), plus the zarr v3 rejection path.
+   and non-split stream layouts), plus a minimal zarr v3 open check
+   (full v3 coverage: tests/test_zarr_io.py).
 """
 
 import ctypes
