@@ -49,22 +49,32 @@ def main(n_cells=1_048_576):
 
     laxsort = jax.jit(lambda a: jnp.sort(a, axis=-1))
     netsort = jax.jit(lambda a: sort_planes(a, axis=-2))
+    # drop-in flavor: same (rows, L) layout as the model paths, transposes
+    # inside the jit — measures whether the relayout copies eat the win
+    netsort_t = jax.jit(lambda a: sort_planes(a.T, axis=0).T)
 
     # checksum read forces completion over the tunnel (block_until_ready
     # does not wait on the axon platform — CLAUDE.md)
     def run_lax(a):
-        return float(jnp.sum(jnp.where(jnp.isfinite(a), a, 0.0).sum(-1)[::4096].astype(jnp.float64))) if False else float(jnp.sum(laxsort(a)[:, 0]))
+        return float(jnp.sum(laxsort(a)[:, 0]))
 
     def run_net(a):
         return float(jnp.sum(netsort(a)[:, 0, :]))
 
+    def run_net_t(a):
+        return float(jnp.sum(netsort_t(a)[:, 0]))
+
     t_lax = timeit(run_lax, rows_d)
     t_net = timeit(run_net, planes_d)
+    t_net_t = timeit(run_net_t, rows_d)
 
     # exactness on a slice (full compare over tunnel too slow)
-    sl = np.asarray(laxsort(rows_d[: 4096 * G]))
-    sn = np.asarray(netsort(planes_d[:, :, :4096]))
-    ok = np.array_equal(sl.reshape(4096, G, L).transpose(1, 2, 0), sn)
+    nc = min(4096, n_cells)
+    sl = np.asarray(laxsort(rows_d[: nc * G]))
+    sn = np.asarray(netsort(planes_d[:, :, :nc]))
+    st = np.asarray(netsort_t(rows_d[: nc * G]))
+    ok = np.array_equal(sl.reshape(nc, G, L).transpose(1, 2, 0), sn)
+    ok_t = np.array_equal(sl, st)
 
     gb = rows.nbytes * 2 / 1e9
     print(
@@ -72,9 +82,12 @@ def main(n_cells=1_048_576):
             "n_cells": n_cells,
             "lax_ms": round(t_lax * 1e3, 2),
             "net_ms": round(t_net * 1e3, 2),
+            "net_t_ms": round(t_net_t * 1e3, 2),
             "speedup": round(t_lax / t_net, 2),
+            "speedup_t": round(t_lax / t_net_t, 2),
             "net_gbps": round(gb / t_net, 1),
             "bitwise_equal_4k": bool(ok),
+            "bitwise_equal_4k_t": bool(ok_t),
         }
     )
 
