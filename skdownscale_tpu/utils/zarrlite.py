@@ -30,9 +30,14 @@ stores increasingly are v3):
   nested keys) and ``v2`` (flat ``0.1``), either separator
 * codec chains ``[transpose?] -> bytes -> [blosc|zstd|gzip|zlib]* [crc32c?]``
   — the ``bytes`` codec's endianness is honored, ``transpose`` only as the
-  identity permutation, ``crc32c`` suffixes are stripped (not verified —
-  castagnoli CRC in pure python would dominate read time), and
-  ``sharding_indexed`` raises a clear error naming the gap
+  identity permutation, and per-chunk ``crc32c`` suffixes are stripped (not
+  verified — castagnoli CRC in pure python would dominate read time)
+* ``sharding_indexed`` (v3 sharding spec): shards are read AND written —
+  inner chunks with their own codec chain, the ``(offset, nbytes)`` uint64
+  index at either ``index_location``, missing inner chunks as fill.  The
+  tiny shard *index* checksum IS verified (and written): pure-python
+  castagnoli over <= a few KB is free, unlike whole-chunk crc32c.  Nested
+  sharding decodes recursively; writes emit one level.
 * groups: ``node_type: group`` with members discovered by directory scan
   (v3 has no central manifest); attributes live inside ``zarr.json``
 
@@ -139,6 +144,154 @@ _V3_DTYPES = {
 _V3_DTYPE_NAMES = {v: k for k, v in _V3_DTYPES.items()}
 
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """Castagnoli CRC-32C (the zarr v3 ``crc32c`` codec).  Pure python with a
+    256-entry table — only ever applied to shard *indexes* (tens of bytes),
+    never to chunk payloads (see module docstring)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    tbl = _CRC32C_TABLE
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _parse_v3_index_codecs(codecs):
+    """Shard-index codec chain -> (endian, has_crc32c).  The index must stay
+    fixed-size for ``index_location: end`` to be seekable, so only ``bytes``
+    (+ optional trailing ``crc32c``) is accepted — which is exactly what
+    zarr-python writes."""
+    endian = "little"
+    has_crc = False
+    seen_bytes = False
+    for c in codecs or [{"name": "bytes"}]:
+        name = c.get("name")
+        if name in ("bytes", "endian") and not seen_bytes and not has_crc:
+            endian = (c.get("configuration") or {}).get("endian", "little")
+            seen_bytes = True
+        elif name == "crc32c" and seen_bytes and not has_crc:
+            has_crc = True
+        else:
+            raise NotImplementedError(
+                f"zarr v3 shard index_codecs {codecs!r} not supported "
+                "(expected [bytes] or [bytes, crc32c])"
+            )
+    if not seen_bytes:
+        raise NotImplementedError("zarr v3 shard index_codecs lack a 'bytes' codec")
+    return endian, has_crc
+
+
+def _parse_v3_spec(codecs, ndim):
+    """Full v3 codec-chain parse -> a decode spec tree.
+
+    ``{'kind': 'bytes', 'endian', 'compressors'}`` for plain chains, or
+    ``{'kind': 'sharding', 'chunk_shape', 'inner', 'index_endian',
+    'index_crc', 'index_location'}`` when the array->bytes codec is
+    ``sharding_indexed`` (inner chunks carry their own spec, recursively).
+    """
+    codecs = list(codecs or [{"name": "bytes"}])
+    for pos, c in enumerate(codecs):
+        if c.get("name") != "sharding_indexed":
+            continue
+        for before in codecs[:pos]:  # array->array transforms only
+            if before.get("name") != "transpose":
+                raise ValueError(
+                    "malformed zarr v3 codec chain: "
+                    f"{before.get('name')!r} precedes 'sharding_indexed'"
+                )
+            order = list((before.get("configuration") or {}).get("order", []))
+            if order != list(range(ndim)):
+                raise NotImplementedError(
+                    f"zarr v3 transpose codec with order {order} is not "
+                    "supported (identity permutation only)"
+                )
+        if codecs[pos + 1 :]:
+            raise NotImplementedError(
+                "zarr v3 bytes->bytes codecs after 'sharding_indexed' are "
+                f"not supported ({[c.get('name') for c in codecs[pos + 1:]]})"
+            )
+        conf = c.get("configuration") or {}
+        chunk_shape = tuple(int(s) for s in conf["chunk_shape"])
+        if len(chunk_shape) != ndim:
+            raise ValueError(
+                f"sharding_indexed chunk_shape {chunk_shape} rank != array rank {ndim}"
+            )
+        endian, has_crc = _parse_v3_index_codecs(conf.get("index_codecs"))
+        loc = conf.get("index_location", "end")
+        if loc not in ("start", "end"):
+            raise ValueError(f"sharding_indexed index_location {loc!r} invalid")
+        return {
+            "kind": "sharding",
+            "chunk_shape": chunk_shape,
+            "inner": _parse_v3_spec(conf.get("codecs"), ndim),
+            "index_endian": endian,
+            "index_crc": has_crc,
+            "index_location": loc,
+        }
+    endian, compressors = _parse_v3_codecs(codecs, ndim)
+    return {"kind": "bytes", "endian": endian, "compressors": compressors}
+
+
+def _innermost_endian(spec) -> str:
+    while spec["kind"] == "sharding":
+        spec = spec["inner"]
+    return spec["endian"]
+
+
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def _decode_v3_payload(buf: bytes, spec, chunk_shape, dtype, fill) -> np.ndarray:
+    """Decode one stored object (chunk or shard) to a (chunk_shape,) array."""
+    if spec["kind"] == "bytes":
+        nbytes = int(np.prod(chunk_shape)) * dtype.itemsize
+        raw = _decode_v3_chain(buf, spec["compressors"], nbytes)
+        return np.frombuffer(raw, dtype=dtype).reshape(chunk_shape)
+    inner_shape = spec["chunk_shape"]
+    cps = tuple(s // i for s, i in zip(chunk_shape, inner_shape))
+    n = int(np.prod(cps))
+    idx_nbytes = n * 16 + (4 if spec["index_crc"] else 0)
+    if len(buf) < idx_nbytes:
+        raise ValueError(
+            f"zarr v3 shard too small for its index ({len(buf)} < {idx_nbytes} bytes)"
+        )
+    idx_raw = buf[:idx_nbytes] if spec["index_location"] == "start" else buf[-idx_nbytes:]
+    if spec["index_crc"]:
+        stored = int.from_bytes(idx_raw[-4:], "little")
+        if _crc32c(idx_raw[:-4]) != stored:
+            raise ValueError("zarr v3 shard index crc32c mismatch (corrupt shard)")
+        idx_raw = idx_raw[:-4]
+    u8 = np.dtype(("<" if spec["index_endian"] == "little" else ">") + "u8")
+    table = np.frombuffer(idx_raw, dtype=u8).reshape(*cps, 2)
+    out = np.empty(chunk_shape, dtype)
+    for pos in np.ndindex(*cps):
+        off, nb = (int(v) for v in table[pos])
+        sel = tuple(slice(p * i, (p + 1) * i) for p, i in zip(pos, inner_shape))
+        if off == _SHARD_MISSING and nb == _SHARD_MISSING:
+            out[sel] = fill
+        else:
+            if off + nb > len(buf):
+                raise ValueError(
+                    f"zarr v3 shard index entry [{off}, {off + nb}) exceeds "
+                    f"shard size {len(buf)}"
+                )
+            out[sel] = _decode_v3_payload(
+                buf[off : off + nb], spec["inner"], inner_shape, dtype, fill
+            )
+    return out
+
+
 def _parse_v3_codecs(codecs, ndim):
     """Split a v3 codec chain into (endian, [bytes->bytes codec specs]).
 
@@ -178,12 +331,6 @@ def _parse_v3_codecs(codecs, ndim):
                     f"{name!r} appears before the 'bytes' (array->bytes) codec"
                 )
             compressors.append((name, conf))
-        elif name == "sharding_indexed":
-            raise NotImplementedError(
-                "zarr v3 sharding_indexed stores are not supported by "
-                "zarrlite — re-write the store without the sharding codec "
-                "(zarr-python: shards=None)"
-            )
         else:
             raise NotImplementedError(f"unsupported zarr v3 codec {name!r}")
     if not seen_bytes:
@@ -262,9 +409,18 @@ class ZarrArray:
             raise NotImplementedError(
                 f"zarr v3 data_type {meta.get('data_type')!r} is not supported"
             )
-        endian, self._v3_compressors = _parse_v3_codecs(
-            meta.get("codecs"), len(self.shape)
-        )
+        self._v3_spec = _parse_v3_spec(meta.get("codecs"), len(self.shape))
+        spec = self._v3_spec
+        chunk = self.chunks
+        while spec["kind"] == "sharding":  # validate nesting divisibility
+            inner = spec["chunk_shape"]
+            if any(c % i for c, i in zip(chunk, inner)):
+                raise ValueError(
+                    f"sharding_indexed inner chunk_shape {inner} does not "
+                    f"divide the outer chunk shape {chunk}"
+                )
+            chunk, spec = inner, spec["inner"]
+        endian = _innermost_endian(self._v3_spec)
         self.dtype = np.dtype(("<" if endian == "little" else ">") + base)
         self.order = "C"
         self.compressor = None
@@ -292,10 +448,11 @@ class ZarrArray:
             raw = f.read()
         if self.zarr_format == 2:
             raw = _decompress(raw, self.compressor, nbytes)
-        else:
-            raw = _decode_v3_chain(raw, self._v3_compressors, nbytes)
-        a = np.frombuffer(raw, dtype=self.dtype)
-        return a.reshape(self.chunks, order=self.order)
+            a = np.frombuffer(raw, dtype=self.dtype)
+            return a.reshape(self.chunks, order=self.order)
+        return _decode_v3_payload(
+            raw, self._v3_spec, self.chunks, self.dtype, self.fill_value
+        )
 
     def read_block(self, starts, stops) -> np.ndarray:
         """Dense hyper-rectangle ``[starts, stops)`` assembled from chunks."""
@@ -406,7 +563,38 @@ def _fill_json(dtype):
     return "NaN" if np.issubdtype(dtype, np.floating) else 0
 
 
-def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None, zarr_format=2):
+def _all_fill(block, fill) -> bool:
+    f = np.asarray(fill)
+    if np.issubdtype(block.dtype, np.floating) and np.isnan(f):
+        return bool(np.isnan(block).all())
+    return bool((block == f).all())
+
+
+def _encode_v3_shard(block, inner, comp, itemsize, fill) -> bytes:
+    """One shard object: encoded inner chunks + little-endian (offset,
+    nbytes) uint64 index + crc32c, index at the end (zarr-python's layout).
+    All-fill inner chunks are dropped (index entries 2^64-1)."""
+    cps = tuple(s // i for s, i in zip(block.shape, inner))
+    table = np.full((*cps, 2), _SHARD_MISSING, dtype="<u8")
+    payloads = []
+    off = 0
+    for pos in np.ndindex(*cps):
+        sel = tuple(slice(p * i, (p + 1) * i) for p, i in zip(pos, inner))
+        b = block[sel]
+        if _all_fill(b, fill):
+            continue
+        enc = _compress(np.ascontiguousarray(b).tobytes(), comp, itemsize)
+        table[pos] = (off, len(enc))
+        payloads.append(enc)
+        off += len(enc)
+    idx = table.tobytes()
+    idx += _crc32c(idx).to_bytes(4, "little")
+    return b"".join(payloads) + idx
+
+
+def save_array(
+    path, arr, *, chunks=None, shards=None, compressor="zlib", attrs=None, zarr_format=2
+):
     """Write ``arr`` as a zarr array directory at ``path``.
 
     ``chunks=None`` stores one chunk per array; ``compressor`` is ``'zlib'``,
@@ -414,12 +602,23 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None, zarr_fo
     readable by real zarr-python) or ``None`` (raw).  ``zarr_format=3``
     writes the v3 layout (``zarr.json``, ``bytes`` + compressor codec chain,
     nested ``c/``-keys); zstd compression is decode-only here, so v3 writes
-    use the same codec set as v2.
+    use the same codec set as v2.  ``shards`` (v3 only, zarr-python
+    semantics) stores each shard-shaped region as one ``sharding_indexed``
+    object of ``chunks``-shaped inner chunks; ``shards`` must be an
+    elementwise multiple of ``chunks``.
     """
     arr = np.ascontiguousarray(arr)
     if chunks is None:
-        chunks = arr.shape if arr.ndim else (1,)
+        chunks = (shards if shards is not None else arr.shape) if arr.ndim else (1,)
     chunks = tuple(int(c) for c in chunks)
+    if shards is not None:
+        if zarr_format != 3:
+            raise ValueError("shards= requires zarr_format=3 (v3 sharding codec)")
+        shards = tuple(int(s) for s in shards)
+        if len(shards) != len(chunks) or any(s % c for s, c in zip(shards, chunks)):
+            raise ValueError(
+                f"shards {shards} must be an elementwise multiple of chunks {chunks}"
+            )
     if compressor is None:
         comp = None
     elif compressor == "blosc":
@@ -475,6 +674,21 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None, zarr_fo
                 comp = {"id": "gzip", "level": 5}
             else:
                 raise ValueError(f"compressor {cid!r} unsupported for v3 writes")
+        if shards is not None:
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(chunks),
+                        "codecs": codecs,
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
         fv = _fill_json(arr.dtype)
         _write_json(
             os.path.join(path, "zarr.json"),
@@ -485,7 +699,7 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None, zarr_fo
                 "data_type": name,
                 "chunk_grid": {
                     "name": "regular",
-                    "configuration": {"chunk_shape": list(chunks)},
+                    "configuration": {"chunk_shape": list(shards or chunks)},
                 },
                 "chunk_key_encoding": {
                     "name": "default",
@@ -505,23 +719,31 @@ def save_array(path, arr, *, chunks=None, compressor="zlib", attrs=None, zarr_fo
 
     else:
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
-    n_chunks = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    store_chunks = shards if shards is not None else chunks
+    fill = _fill_scalar(_fill_json(arr.dtype), arr.dtype)
+    n_chunks = [-(-s // c) for s, c in zip(arr.shape, store_chunks)]
     for idx in np.ndindex(*n_chunks):
-        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, store_chunks))
         block = arr[sel]
-        if block.shape != chunks:  # edge chunks are stored full-size
-            full = np.full(chunks, _fill_scalar(_fill_json(arr.dtype), arr.dtype), arr.dtype)
+        if block.shape != store_chunks:  # edge chunks are stored full-size
+            full = np.full(store_chunks, fill, arr.dtype)
             full[tuple(slice(0, s) for s in block.shape)] = block
             block = full
-        buf = _compress(np.ascontiguousarray(block).tobytes(), comp, arr.dtype.itemsize)
+        if shards is not None:
+            buf = _encode_v3_shard(block, chunks, comp, arr.dtype.itemsize, fill)
+        else:
+            buf = _compress(np.ascontiguousarray(block).tobytes(), comp, arr.dtype.itemsize)
         with open(os.path.join(path, key(idx)), "wb") as f:
             f.write(buf)
     return path
 
 
-def save_group(path, arrays: dict, *, chunks=None, compressor="zlib", attrs=None, zarr_format=2):
-    """Write a zarr group (v2 or v3) of named arrays.  ``chunks`` may be a
-    dict (per-array) or one tuple for all."""
+def save_group(
+    path, arrays: dict, *, chunks=None, shards=None, compressor="zlib", attrs=None,
+    zarr_format=2,
+):
+    """Write a zarr group (v2 or v3) of named arrays.  ``chunks`` /
+    ``shards`` may be dicts (per-array) or one tuple for all."""
     os.makedirs(path, exist_ok=True)
     if zarr_format == 2:
         _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
@@ -536,9 +758,10 @@ def save_group(path, arrays: dict, *, chunks=None, compressor="zlib", attrs=None
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     for name, arr in arrays.items():
         c = chunks.get(name) if isinstance(chunks, dict) else chunks
+        s = shards.get(name) if isinstance(shards, dict) else shards
         save_array(
-            os.path.join(path, name), arr, chunks=c, compressor=compressor,
-            zarr_format=zarr_format,
+            os.path.join(path, name), arr, chunks=c, shards=s,
+            compressor=compressor, zarr_format=zarr_format,
         )
     return path
 
