@@ -69,6 +69,29 @@ def sort_static(x, flavor="static", interpret=False):
     return out[:, :B].T[:, :Lq]
 
 
+@functools.partial(jax.jit, static_argnames=("flavor", "interpret"))
+def sort_pretransposed(keysT, flavor="static", interpret=False):
+    """Kernel-only cost: input already (Lp, B) ordered-int, output same."""
+    Lp, B = keysT.shape
+    tb = sk._pick_tb(B, Lp, 2)
+    pad_b = (-B) % tb
+    if pad_b:
+        keysT = jnp.pad(keysT, ((0, 0), (0, pad_b)), constant_values=sk._I32_MAX)
+    Bp = keysT.shape[1]
+    maker = sk._make_sort_kernel if flavor == "static" else sk._make_sort_kernel_rolled
+    kern = maker(Lp, False, True)
+    spec = pl.BlockSpec((Lp, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Lp, Bp), jnp.float32),
+        grid=(Bp // tb,),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(keysT)
+    return out[:, :B]
+
+
 def timeit(fn, *args, reps=5):
     fn(*args)  # compile + warm
     best = float("inf")
@@ -97,9 +120,30 @@ def main(n_cells=1_048_576):
     def run_rolled(a):
         return float(jnp.sum(sort_static(a, "rolled", interp)[:, 0]))
 
+    # decomposition: the HBM transpose alone, and the kernel alone on
+    # pre-transposed ordered-int input
+    Lp = sk._pow2(L)
+    # build the pre-transposed keys ON DEVICE (a host transfer of 3 GB would
+    # take minutes over this rig's 0.02 GB/s tunnel)
+    keysT_d = jax.jit(
+        lambda a: jnp.pad(
+            sk._to_ordered_int(a), ((0, 0), (0, Lp - L)), constant_values=sk._I32_MAX
+        ).T
+        + 0
+    )(rows_d)
+    transpose_j = jax.jit(lambda a: a.T + 0)  # materialized relayout
+
+    def run_transpose(a):
+        return float(jnp.sum(transpose_j(a)[0, :]))
+
+    def run_kernel_only(a):
+        return float(jnp.sum(sort_pretransposed(a, "static", interp)[0, :]))
+
     t_lax = timeit(run_lax, rows_d)
     t_static = timeit(run_static, rows_d)
     t_rolled = timeit(run_rolled, rows_d)
+    t_tr = timeit(run_transpose, rows_d)
+    t_ko = timeit(run_kernel_only, keysT_d)
 
     nc = min(4096, n_cells)
     sl = np.asarray(laxsort(rows_d[: nc * G]))
@@ -113,6 +157,8 @@ def main(n_cells=1_048_576):
             "lax_ms": round(t_lax * 1e3, 2),
             "static_ms": round(t_static * 1e3, 2),
             "rolled_ms": round(t_rolled * 1e3, 2),
+            "transpose_ms": round(t_tr * 1e3, 2),
+            "kernel_only_ms": round(t_ko * 1e3, 2),
             "speedup_static": round(t_lax / t_static, 2),
             "static_gbps": round(gb / t_static, 1),
             "bitwise_equal_4k": bool(ok),

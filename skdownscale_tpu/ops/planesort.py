@@ -27,6 +27,22 @@ Cost model: Batcher's network for L=40 is ~260 comparators (~13 int
 ops/element) — VPU-cheap next to the HBM pass.  Comparator count grows
 O(L log^2 L); above ``MAX_NETWORK_LEN`` callers should keep ``lax.sort``
 (the daily 620-wide windows stay on the slide kernel / lax.sort paths).
+
+**Measured NEGATIVE on-chip — not wired into any model path.**  At the
+monthly fit-window shape ((1M*12, 40) f32, ``benchmarks/
+planesort_micro_tpu.py`` / ``shortsort_micro_tpu.py``):
+
+* this network, data already plane-major:  146.6 ms vs lax.sort 106.9 —
+  XLA does NOT fuse the comparator chain; intermediates round-trip HBM
+  (27.5 GB/s effective);
+* drop-in flavor (transposes inside the jit): 136.5 ms;
+* the in-VMEM Pallas bitonic (static unrolled / rolled): 149.6 / 168.3 ms,
+  decomposed as kernel-only 128.6 ms + 36 ms per HBM transpose — the
+  partner-exchange sublane shuffles are VPU-bound, same conclusion as the
+  round-3 bitonic negatives (``sort_kernel.use_sort_kernel``).
+
+``lax.sort`` stays the production short-row sort.  Kept (with tests) as a
+documented negative result and for CPU-side callers.
 """
 
 from __future__ import annotations
