@@ -74,7 +74,7 @@ def _parse(tdir):
 
     leaves = [l for t in tops for l in flatten(t)]
     leaves.sort(key=lambda n: -n["metrics"].get("rawTime", 0))
-    top5 = [
+    top12 = [
         {
             "op": l.get("name", "?")[:60],
             "time_ms": round(l["metrics"].get("rawTime", 0) * 1e-9, 3),
@@ -82,12 +82,12 @@ def _parse(tdir):
                 l["metrics"].get("rawBytesAccessedArray", [0])[0] / 1e9, 3
             ),
         }
-        for l in leaves[:5]
+        for l in leaves[:12]
     ]
     return {
         "busy_s": (m["rawTime"] - idle_ps) * 1e-12,
         "xprof_hbm_bytes": m.get("rawBytesAccessedArray", [0])[0],
-        "top_ops": top5,
+        "top_ops": top12,
     }
 
 

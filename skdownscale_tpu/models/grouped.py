@@ -118,16 +118,48 @@ def _padded_pp(groups: PaddedGroups, alpha: float, beta: float) -> np.ndarray:
     return _padded_pp_from_counts(groups.counts, L, alpha, beta).reshape(-1)
 
 
+# counting sort is O(L^2)/row; measured ~1.9x faster than lax.sort at L=40
+# and ~1.7x at L=240 (rank_map profile + strip sweep), losing by ~2x at 620
+_COUNT_SORT_MAX_LEN = 256
+
+
+def _seg_kernel_ok(dtype, L: int) -> bool:
+    """Route a grouped minor-axis op to the segment Pallas kernels: TPU +
+    float32 + vreg-aligned segment length (the kernels slice length-L blocks
+    of the transposed array, so L must be a sublane-tile multiple)."""
+    from ..ops.pallas.rank_map_kernel import use_rank_map_kernel
+
+    return use_rank_map_kernel(dtype) and L % 8 == 0
+
+
 def _sort_within_groups(vflat, groups: PaddedGroups):
     """Sort each group's slots by value.
 
-    Runs as a 2-D (rows*groups, L) sort — short per-group sorts (O(L log L)
-    work) on a near-unpadded 2-D buffer; the (rows, G*L) <-> (rows*G, L)
-    reshapes stay 2-D.  (A flat two-key (group_id, value) sort avoids the
-    relayout copies but costs O(GL log GL) — ~5x slower for the 366-group
-    daily tables.)"""
+    On TPU/f32 with vreg-aligned group length this runs the segment
+    counting-sort kernel directly on the flat (rows, G*L) table — no
+    reshape.  The flat->(rows*G, L) reshape is NOT free on TPU: XLA keeps
+    the neighboring fusions in the transposed {0,1} layout, so each side of
+    the reshape lowers as a physical relayout copy (profiler capture,
+    BASELINE roofline: 2 x ~1.6 ms per reshape at the 131k-cell headline
+    config, against a 9.15 ms lax.sort).
+
+    Elsewhere it runs as a 2-D (rows*groups, L) sort — short per-group
+    sorts (O(L log L) work) on a near-unpadded 2-D buffer.  (A flat two-key
+    (group_id, value) sort avoids the relayout copies but costs
+    O(GL log GL) — ~5x slower for the 366-group daily tables.)"""
+    from ..ops import rowsort as _rs
+    from ..ops.pallas.rank_map_kernel import count_sort_segments
+
     G, L = groups.indices.shape
     shape = vflat.shape
+    if _rs._OVERRIDE is not None:
+        use, interpret = _rs._OVERRIDE
+    else:
+        use, interpret = _seg_kernel_ok(vflat.dtype, L), False
+    if use and L % 8 == 0 and L <= _COUNT_SORT_MAX_LEN:
+        flat2 = vflat.reshape(-1, G * L)  # leading-dim collapse only
+        out = count_sort_segments(flat2, L=L, interpret=interpret)
+        return out.reshape(shape)
     return sort_rows_auto(vflat.reshape(-1, L)).reshape(shape)
 
 
@@ -304,6 +336,36 @@ def apply_ranked_rows(res_rows, q_rows, region_rows):
     return _rank_fill_unsort(res_rows, sv, spos, region_rows)
 
 
+def apply_ranked_flat(res_flat, q_flat, region_host_flat, L: int):
+    """(..., G*L) flavor of :func:`apply_ranked_rows` over length-``L``
+    segments.  On TPU/f32 with vreg-aligned ``L`` this feeds the segment
+    counting kernel directly — the ``(..., G*L) <-> (rows, L)`` reshape of
+    the flat flavor costs two physical relayout copies per side on TPU (see
+    ``_sort_within_groups``).  ``region_host_flat``: host (G*L,) int32,
+    consumed only by the XLA fallback's tie fill."""
+    from ..ops import rowsort as _rs
+    from ..ops.pallas.rank_map_kernel import rank_map_segments
+
+    lead = q_flat.shape[:-1]
+    GL = q_flat.shape[-1]
+    if _rs._OVERRIDE is not None:
+        use, interpret = _rs._OVERRIDE
+    else:
+        use, interpret = _seg_kernel_ok(q_flat.dtype, L), False
+    if use and L % 8 == 0:
+        q2 = q_flat.reshape(-1, GL)  # leading-dim collapse only
+        r2 = jnp.broadcast_to(res_flat, q_flat.shape).reshape(-1, GL)
+        return rank_map_segments(q2, r2, L=L, interpret=interpret).reshape(*lead, GL)
+    region = jnp.broadcast_to(
+        jnp.asarray(region_host_flat), (*lead, GL)
+    ).reshape(-1, L)
+    return apply_ranked_rows(
+        jnp.broadcast_to(res_flat, q_flat.shape).reshape(-1, L),
+        q_flat.reshape(-1, L),
+        region,
+    ).reshape(*lead, GL)
+
+
 def _tail_windows(counts: np.ndarray, L: int, n_endpoints: int):
     """Host-precomputed tail-window column indices and 0/1 weights."""
     ne = min(n_endpoints, L)
@@ -446,8 +508,6 @@ def grouped_qm_transform(
     q_pp_host = _padded_pp(groups, alpha, beta).reshape(G, L)
     rb = rank_bracket_tables(fit_counts, q_pp_host, Lt, alpha=alpha, beta=beta)
 
-    rows = masked.reshape(-1, L)
-
     vals_b = jnp.broadcast_to(fit_cdf.vals, (*lead, G * Lt))
     f0 = vals_b[..., jnp.asarray(rb["lo_flat"])]  # static takes, (..., G*L)
     f1 = vals_b[..., jnp.asarray(rb["hi_flat"])]
@@ -482,12 +542,7 @@ def grouped_qm_transform(
             res = jnp.where(jnp.asarray(rb["above"].reshape(-1)), line, res)
 
     region_host = np.where(rb["below"], 0, np.where(rb["above"], 2, 1)).astype(np.int32)
-    region = jnp.broadcast_to(
-        jnp.asarray(region_host.reshape(-1)), (*lead, G * L)
-    ).reshape(-1, L)
-    mapped = apply_ranked_rows(res.reshape(-1, L), rows, region).reshape(
-        *lead, G * L
-    )
+    mapped = apply_ranked_flat(res, masked, region_host.reshape(-1), L)
     if detrend:
         mapped = mapped + _trend_line_flat(slope, intercept, groups, dtype)
         # intercept-bias reset (quantile.py:145)

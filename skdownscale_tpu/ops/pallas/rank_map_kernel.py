@@ -31,6 +31,33 @@ properties:
 
 Layout: rows on lanes, (Lq, TB) transposed blocks, one read + one write of
 HBM.  float32.
+
+Why O(Lq^2) is the floor here (round-4 analysis, closing the "bucketed
+pre-ranking" question from the round-3/4 notes): on the VPU every useful
+primitive is a broadcast compare of one (1, TB) row against the (Lp, TB)
+block — there is no per-lane gather/scatter along sublanes.  In that
+machine model,
+
+* an exact rank needs every query compared against every row once: Lp
+  compare-ops per element is information-minimal, and the count loop does
+  exactly Lp;
+* *bucketing* by value cannot cut it: restricting the intra-bucket count
+  to "rows in my bucket" still executes as a masked compare against ALL
+  rows (`(x_s <= x_t) & (b_s == b_t)`) — same Lp ops per element plus the
+  mask, because bucket members cannot be physically gathered;
+* *antisymmetry* (derive rank_s from the s-th broadcast by a sublane
+  reduction) re-derives the same Lp^2 compare volume — the broadcast
+  itself is the cost, not the accumulate;
+* the place pass is symmetric (`res[rank]` is a per-lane sublane gather,
+  which must be emulated by Lp selects), so 2 x Lp ops per element total —
+  exactly what this kernel runs;
+* sub-quadratic alternatives need cross-sublane data movement (sorting
+  networks): measured 1.4-1.6x SLOWER end-to-end (the bitonic/Batcher
+  negative suite, ``sort_kernel.use_sort_kernel`` and ``ops.planesort``).
+
+The strip width is the one real knob and is settled by the on-chip sweep
+in BASELINE.md (strip=16; 8/32 measured worse).  Remaining headroom would
+need a different machine (sub-lane SIMD compares or a true VPU gather).
 """
 
 from __future__ import annotations
@@ -43,7 +70,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rank_map_rows", "use_rank_map_kernel"]
+from .sort_kernel import _from_ordered_int, _to_ordered_int
+
+__all__ = [
+    "rank_map_rows",
+    "rank_map_segments",
+    "count_sort_rows",
+    "count_sort_segments",
+    "use_rank_map_kernel",
+]
+
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
 def use_rank_map_kernel(dtype) -> bool:
@@ -142,3 +179,159 @@ def rank_map_rows(xq, res, *, interpret: bool = False, strip: int = 16):
         interpret=interpret,
     )(xqT, resT)
     return outT[:Lq].T[:B]
+
+
+def rank_map_segments(xq, res, *, L: int, interpret: bool = False, strip: int = 8):
+    """Segment form of :func:`rank_map_rows`: ``out[b, g*L+t] = res[b, g*L +
+    rank of xq[b, g*L+t] within segment g]`` for length-``L`` segments of the
+    minor axis (``L % strip == 0``).
+
+    Motivation (round-4 profiler capture, BASELINE roofline): the flat form
+    forces a ``(C, G*L) -> (C*G, L)`` reshape on each side, and XLA runs the
+    neighboring fusions in the transposed ``{0,1}`` layout — so every such
+    reshape lowers as TWO physical relayout copies (~0.5 GB each at the
+    131k-cell headline config).  Operating on length-``L`` blocks of the
+    transposed ``(G*L, B)`` array needs no reshape at all: the ``.T`` meets
+    the producer's ``{0,1}`` layout as a bitcast, and the grid's g-axis
+    slices segments directly.
+    """
+    B, GL = xq.shape
+    G = GL // L
+    if GL != G * L or L % strip or strip % 8:
+        raise ValueError(f"bad segment shape: GL={GL} L={L} strip={strip}")
+    tb = _pick_tb(B, L)
+    pad_b = (-B) % tb
+    inf = jnp.asarray(jnp.inf, xq.dtype)
+    xqT = xq.T
+    resT = res.T
+    if pad_b:
+        xqT = jnp.pad(xqT, ((0, 0), (0, pad_b)), constant_values=inf)
+        resT = jnp.pad(resT, ((0, 0), (0, pad_b)))
+    Bp = xqT.shape[1]
+    spec = pl.BlockSpec((L, tb), lambda g, b: (g, b), memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
+        _make_kernel(L, strip),
+        out_shape=jax.ShapeDtypeStruct((GL, Bp), xq.dtype),
+        grid=(G, Bp // tb),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(xqT, resT)
+    return outT.T[:B]
+
+
+def _make_count_sort_kernel(Lp: int, strip: int):
+    """Counting SORT: ranks by ``Lq^2`` broadcast compares (as
+    :func:`_make_kernel`), then places each key at its rank slot and fills
+    tie holes with a suffix-min.
+
+    Runs on order-isomorphic int32 keys (``sort_kernel._to_ordered_int``),
+    so the result is bitwise ``lax.sort`` including NaN/-0/inf ordering.
+    Ties: every member of a tie run counts the run-END rank, so the place
+    pass fills only that slot (all members carry identical key bits — any
+    write order gives the same value) and the earlier run slots stay at the
+    ``INT32_MAX`` hole sentinel.  The suffix-min then assigns every slot
+    ``min(out[r:])``: filled slots keep their value (output is ascending),
+    holes take the nearest filled slot above = their run's value.  Lane pads
+    (``INT32_MAX``) and row pads sort to the tail and are sliced off."""
+    assert strip % 8 == 0 and Lp % strip == 0
+    n_blocks = Lp // strip
+
+    def kernel(k_ref, out_ref):
+        k = k_ref[:]  # (Lp, TB) int32 order-isomorphic keys
+
+        def count(nb, carry):
+            cnt, rolled = carry
+            for s in range(strip):
+                cnt = cnt + (rolled[s : s + 1] <= k).astype(jnp.int32)
+            return cnt, pltpu.roll(rolled, Lp - strip, axis=0)
+
+        rank, _ = jax.lax.fori_loop(
+            0, n_blocks, count, (jnp.zeros(k.shape, jnp.int32), k)
+        )
+        rank = rank - 1
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+        hole = jnp.asarray(_I32_MAX, jnp.int32)
+
+        def place(nb, carry):
+            out, rk, rv = carry
+            for s in range(strip):
+                out = jnp.where(rk[s : s + 1] == iota, rv[s : s + 1], out)
+            return (
+                out,
+                pltpu.roll(rk, Lp - strip, axis=0),
+                pltpu.roll(rv, Lp - strip, axis=0),
+            )
+
+        out, _, _ = jax.lax.fori_loop(
+            0, n_blocks, place, (jnp.full(k.shape, hole, jnp.int32), rank, k)
+        )
+
+        d = 1
+        while d < Lp:  # suffix-min tie-hole fill, log2(Lp) masked rolls
+            shifted = pltpu.roll(out, Lp - d, axis=0)
+            out = jnp.where(iota < Lp - d, jnp.minimum(out, shifted), out)
+            d *= 2
+        out_ref[:] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "strip"))
+def count_sort_rows(x, *, interpret: bool = False, strip: int = 8):
+    """``jnp.sort(x, axis=-1)`` for float32 rows by rank counting in VMEM —
+    no shuffle network (the bitonic/Batcher suite measured 1.4-1.6x SLOWER
+    than lax.sort at L=40; the counting structure measured ~1.9x FASTER,
+    ``benchmarks/shortsort_micro_tpu.py`` + the rank_map profile).  O(L^2)
+    VPU work per row: the win is for short rows (the grouped-QM fit
+    windows); long rows (QDM's 3650) stay on ``lax.sort``."""
+    B, L = x.shape
+    Lp = -(-L // strip) * strip
+    keys = _to_ordered_int(x.astype(jnp.float32)).T  # (L, B)
+    pad_b = (-B) % _pick_tb(B, Lp)
+    tb = _pick_tb(B, Lp)
+    if pad_b:
+        keys = jnp.pad(keys, ((0, 0), (0, pad_b)), constant_values=_I32_MAX)
+    if Lp != L:
+        keys = jnp.pad(keys, ((0, Lp - L), (0, 0)), constant_values=_I32_MAX)
+    Bp = keys.shape[1]
+    spec = pl.BlockSpec((Lp, tb), lambda b: (0, b), memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
+        _make_count_sort_kernel(Lp, strip),
+        out_shape=jax.ShapeDtypeStruct((Lp, Bp), jnp.int32),
+        grid=(Bp // tb,),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(keys)
+    return _from_ordered_int(outT[:L].T[:B])
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret", "strip"))
+def count_sort_segments(x, *, L: int, interpret: bool = False, strip: int = 8):
+    """Segment form of :func:`count_sort_rows`: sort each length-``L``
+    segment of the minor axis of ``x`` (B, G*L) ascending, bitwise equal to
+    ``jnp.sort`` of the ``(B*G, L)`` reshape — without the reshape (see
+    :func:`rank_map_segments` for why the reshape costs two relayout
+    copies)."""
+    B, GL = x.shape
+    G = GL // L
+    if GL != G * L or L % strip or strip % 8:
+        raise ValueError(f"bad segment shape: GL={GL} L={L} strip={strip}")
+    keys = _to_ordered_int(x.astype(jnp.float32)).T  # (GL, B)
+    tb = _pick_tb(B, L)
+    pad_b = (-B) % tb
+    if pad_b:
+        keys = jnp.pad(keys, ((0, 0), (0, pad_b)), constant_values=_I32_MAX)
+    Bp = keys.shape[1]
+    spec = pl.BlockSpec((L, tb), lambda g, b: (g, b), memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
+        _make_count_sort_kernel(L, strip),
+        out_shape=jax.ShapeDtypeStruct((GL, Bp), jnp.int32),
+        grid=(G, Bp // tb),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(keys)
+    return _from_ordered_int(outT.T[:B])

@@ -158,3 +158,98 @@ def test_rank_map_rows_matches_fill_unsort(rng):
     npt.assert_array_equal(
         np.where(np.isnan(got), -9.0, got), np.where(np.isnan(want), -9.0, want)
     )
+
+
+# ----------------------------------------------------------------------
+# counting-sort kernel (round 4): rank counting + place + suffix-min fill
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("B,L", [(16, 40), (130, 40), (8, 236), (5, 64), (3, 7), (9, 1)])
+def test_count_sort_rows_matches_npsort(rng, B, L):
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import count_sort_rows
+
+    x = _specials(rng, B, L)
+    got = np.asarray(count_sort_rows(jnp.asarray(x), interpret=True))
+    npt.assert_array_equal(got, np.sort(x, axis=1))
+
+
+def test_count_sort_rows_bitwise_nan_payloads(rng):
+    """Bit-level total order == the bitonic kernel's (ordered-int order:
+    -NaN < -inf < ... < +inf < +NaN), including nonstandard NaN payloads and
+    -0.0 vs +0.0.  (jnp.sort instead sends ALL NaNs last; the pipelines only
+    ever produce +NaN, where the two orders agree — same caveat as
+    ``sort_rows``.)"""
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import count_sort_rows
+
+    x = rng.normal(0, 5, (6, 24)).astype(np.float32)
+    x[0, 0] = np.float32(-0.0)
+    x[0, 1] = np.float32(0.0)
+    x[1, :3] = [np.inf, -np.inf, np.nan]
+    # NaN with a nonstandard payload + negative NaN
+    x.view(np.uint32)[2, 0] = 0x7FC00001
+    x.view(np.uint32)[2, 1] = 0xFFC00000
+    got = np.asarray(count_sort_rows(jnp.asarray(x), interpret=True))
+    want = np.asarray(sort_rows(jnp.asarray(x), interpret=True))
+    npt.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
+    # rows without negative NaN or signed-zero pairs also match np.sort
+    # bitwise (np.sort leaves -0.0/+0.0 in input order; the bit order is
+    # strict -0 < +0)
+    npt.assert_array_equal(
+        got[1:2].view(np.uint32), np.sort(x[1:2], axis=1).view(np.uint32)
+    )
+
+
+@pytest.mark.parametrize("B,G,L", [(7, 3, 40), (20, 12, 40), (4, 5, 8), (3, 1, 64)])
+def test_count_sort_segments_matches_flat(rng, B, G, L):
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import count_sort_segments
+
+    x = _specials(rng, B * G, L).reshape(B, G * L)
+    got = np.asarray(count_sort_segments(jnp.asarray(x), L=L, interpret=True))
+    want = np.sort(x.reshape(B * G, L), axis=1).reshape(B, G * L)
+    npt.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("B,G,L", [(9, 4, 40), (5, 2, 16)])
+def test_rank_map_segments_matches_flat(rng, B, G, L):
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import (
+        rank_map_rows,
+        rank_map_segments,
+    )
+
+    x = _specials(rng, B * G, L).reshape(B, G * L)
+    res = np.sort(rng.normal(0, 1, (B * G, L)).astype(np.float32), axis=1)
+    got = np.asarray(
+        rank_map_segments(
+            jnp.asarray(x), jnp.asarray(res.reshape(B, G * L)), L=L, interpret=True
+        )
+    )
+    want = np.asarray(
+        rank_map_rows(
+            jnp.asarray(x.reshape(B * G, L)), jnp.asarray(res), interpret=True, strip=8
+        )
+    ).reshape(B, G * L)
+    npt.assert_array_equal(
+        np.where(np.isnan(got), -9.0, got), np.where(np.isnan(want), -9.0, want)
+    )
+
+
+def test_grouped_fit_sort_segment_kernel_matches_xla(rng):
+    """cunnane_fit_padded with the segment counting sort forced (interpret)
+    == the default XLA sort path, heavy ties included."""
+    import pandas as pd
+
+    from skdownscale_tpu.models.grouped import cunnane_fit_padded, gather_groups
+    from skdownscale_tpu.ops import rowsort
+    from skdownscale_tpu.utils.timeindex import TimeIndex, month_groups
+
+    idx = pd.date_range("1990-01-01", periods=120, freq="MS")
+    groups = month_groups(TimeIndex.from_pandas(idx))
+    x = rng.normal(0, 5, (6, 120)).astype(np.float32)
+    x[2] = np.round(x[2])  # ties
+
+    xg = gather_groups(jnp.asarray(x), groups, fill=0.0)
+    want = np.asarray(cunnane_fit_padded(xg, groups).vals)
+    with rowsort.override(force=True, interpret=True):
+        got = np.asarray(cunnane_fit_padded(xg, groups).vals)
+    npt.assert_array_equal(got, want)
