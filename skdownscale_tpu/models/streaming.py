@@ -42,7 +42,35 @@ import numpy as np
 from ..ops.regression import ols_1d
 from ..ops.rowsort import sort_rows_auto
 from ..utils.timeindex import PaddedGroups
-from .grouped import _padded_pp, _rank_bracket_row, apply_ranked_rows
+from .grouped import (
+    _COUNT_SORT_MAX_LEN,
+    _padded_pp,
+    _rank_bracket_row,
+    _seg_kernel_ok,
+    apply_ranked_flat,
+    apply_ranked_rows,
+)
+
+
+def _sort_groups_3d(masked3, Lt: int):
+    """Sort the ``Lt``-wide windows of a (..., Gc, Lt) chunk.  TPU/f32 with
+    vreg-aligned ``Lt`` routes to the segment counting-sort kernel on the
+    (..., Gc*Lt) flat view — the (rows, Lt) reshape costs two physical
+    relayout copies per side on TPU (see ``grouped._sort_within_groups``)."""
+    from ..ops import rowsort as _rs
+    from ..ops.pallas.rank_map_kernel import count_sort_segments
+
+    Gc, Lt_ = masked3.shape[-2], masked3.shape[-1]
+    if _rs._OVERRIDE is not None:
+        use, interpret = _rs._OVERRIDE
+    else:
+        use, interpret = _seg_kernel_ok(masked3.dtype, Lt), False
+    if use and Lt % 8 == 0 and Lt <= _COUNT_SORT_MAX_LEN:
+        flat = masked3.reshape(-1, Gc * Lt_)
+        return count_sort_segments(flat, L=Lt, interpret=interpret).reshape(
+            masked3.shape
+        )
+    return sort_rows_auto(masked3.reshape(-1, Lt)).reshape(masked3.shape)
 
 __all__ = ["StreamTables", "build_stream_tables", "streaming_qm_transform"]
 
@@ -295,7 +323,7 @@ def streaming_qm_transform(
                 line = f_slope[..., None] * jnp.arange(Lt, dtype=dtype) + f_intercept[..., None]
                 src = src - line
             masked = jnp.where(fit_mask, src, inf)
-            svals = sort_rows_auto(masked.reshape(-1, Lt)).reshape(*lead, Gc, Lt)
+            svals = _sort_groups_3d(masked, Lt)
 
         # -- queries: rank-bracket map through the fit CDF ----------------
         # (quantile.py:523-545 semantics).  One payload sort recovers each
@@ -309,7 +337,6 @@ def streaming_qm_transform(
             q_line = q_slope[..., None] * jnp.arange(Lq, dtype=dtype) + q_intercept[..., None]
             xq = xq - q_line
         mq = jnp.where(tab.q_mask, xq, inf)
-        rows_q = mq.reshape(-1, Lq)
 
         v_last = jnp.max(jnp.where(fit_mask, svals, -inf), axis=-1, keepdims=True)
         vals_tab = jnp.where(fit_mask, svals, v_last)
@@ -342,14 +369,17 @@ def streaming_qm_transform(
             )
 
         # exact np.interp tie semantics + original-order placement (sort-free
-        # counting kernel on TPU; rank sort + run-end fill + unsort elsewhere)
+        # counting kernel on TPU, segment form — no (rows, Lq) reshape;
+        # rank sort + run-end fill + unsort elsewhere)
         region = jnp.where(tab.rb_lo_m, 0, jnp.where(tab.rb_hi_m, 2, 1)).astype(
             jnp.int32
         )
-        region = jnp.broadcast_to(region, (*lead, Gc, Lq)).reshape(-1, Lq)
-        res = apply_ranked_rows(res.reshape(-1, Lq), rows_q, region).reshape(
-            *lead, Gc, Lq
-        )
+        res = apply_ranked_flat(
+            res.reshape(*lead, Gc * Lq),
+            mq.reshape(*lead, Gc * Lq),
+            region.reshape(-1),
+            Lq,
+        ).reshape(*lead, Gc, Lq)
 
         if detrend:
             res = res + q_line

@@ -222,6 +222,11 @@ def _parse_v3_spec(codecs, ndim):
                 f"not supported ({[c.get('name') for c in codecs[pos + 1:]]})"
             )
         conf = c.get("configuration") or {}
+        if "chunk_shape" not in conf:
+            raise ValueError(
+                "malformed zarr v3 sharding_indexed codec: configuration "
+                "lacks 'chunk_shape'"
+            )
         chunk_shape = tuple(int(s) for s in conf["chunk_shape"])
         if len(chunk_shape) != ndim:
             raise ValueError(

@@ -128,8 +128,9 @@ def test_malformed_frames_raise():
 
 def test_zarr_v3_store_opens(tmp_path):
     """Round 3 rejected v3 with a clear error; round 4 implements it — a
-    minimal v3 array now opens, and unsupported v3 features (sharding)
-    still raise naming the gap (full coverage: tests/test_zarr_io.py)."""
+    minimal v3 array now opens, and a malformed codec chain still raises
+    clearly (sharding itself is now SUPPORTED — full coverage incl. shard
+    round-trips: tests/test_zarr_io.py)."""
     p = tmp_path / "v3.zarr"
     p.mkdir()
     meta = {
@@ -150,8 +151,8 @@ def test_zarr_v3_store_opens(tmp_path):
     )
     meta["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
     (p / "zarr.json").write_text(json.dumps(meta))
-    with pytest.raises(NotImplementedError, match="sharding"):
-        zarrlite.open_array(str(p))
+    with pytest.raises(ValueError, match="sharding_indexed"):
+        zarrlite.open_array(str(p))  # malformed: no chunk_shape
 
 
 # ---------------------------------------------------------------------------
