@@ -58,21 +58,24 @@ def main():
         print(f"count_sort_rows ({B},{L}): bitwise_equal={eq}")
         ok &= eq
 
-    for B, G, L in [(130, 12, 40), (40, 5, 48)]:
+    for B, G, L, strip in [(130, 12, 40, 8), (40, 5, 48, 8), (40, 5, 48, 16)]:
         x = _specials(rng, B * G, L).reshape(B, G * L)
-        got = np.asarray(count_sort_segments(jnp.asarray(x), L=L))
+        got = np.asarray(count_sort_segments(jnp.asarray(x), L=L, strip=strip))
         want = np.sort(x.reshape(B * G, L), axis=1).reshape(B, G * L)
         eq = np.array_equal(
             np.where(np.isnan(got), np.inf, got), np.where(np.isnan(want), np.inf, want)
         )
-        print(f"count_sort_segments ({B},{G},{L}): bitwise_equal={eq}")
+        print(f"count_sort_segments ({B},{G},{L},strip={strip}): bitwise_equal={eq}")
         ok &= eq
 
-    for B, G, L in [(90, 12, 40)]:
+    # strip=16 at L=240 is the production daily rank-map configuration
+    for B, G, L, strip in [(90, 12, 40, 8), (30, 2, 240, 16)]:
         x = _specials(rng, B * G, L).reshape(B, G * L)
         res = np.sort(rng.normal(0, 1, (B * G, L)).astype(np.float32), axis=1)
         got = np.asarray(
-            rank_map_segments(jnp.asarray(x), jnp.asarray(res.reshape(B, G * L)), L=L)
+            rank_map_segments(
+                jnp.asarray(x), jnp.asarray(res.reshape(B, G * L)), L=L, strip=strip
+            )
         )
         want = np.asarray(
             rank_map_rows(jnp.asarray(x.reshape(B * G, L)), jnp.asarray(res), strip=8)
@@ -80,7 +83,7 @@ def main():
         eq = np.array_equal(
             np.where(np.isnan(got), np.inf, got), np.where(np.isnan(want), np.inf, want)
         )
-        print(f"rank_map_segments ({B},{G},{L}): bitwise_equal={eq}")
+        print(f"rank_map_segments ({B},{G},{L},strip={strip}): bitwise_equal={eq}")
         ok &= eq
 
     print("ALL OK" if ok else "PARITY FAILURES")

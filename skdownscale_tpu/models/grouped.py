@@ -132,6 +132,13 @@ def _seg_kernel_ok(dtype, L: int) -> bool:
     return use_rank_map_kernel(dtype) and L % 8 == 0
 
 
+def _seg_strip(L: int) -> int:
+    """Widest legal roll strip: 16 measured ~11-17% faster than 8 where the
+    segment length allows it (BASELINE strip sweep; the daily Lq=240 rank
+    map measured 110.2 ms at strip=8 vs 91.4 at the flat form's 16)."""
+    return 16 if L % 16 == 0 else 8
+
+
 def _sort_within_groups(vflat, groups: PaddedGroups):
     """Sort each group's slots by value.
 
@@ -158,7 +165,7 @@ def _sort_within_groups(vflat, groups: PaddedGroups):
         use, interpret = _seg_kernel_ok(vflat.dtype, L), False
     if use and L % 8 == 0 and L <= _COUNT_SORT_MAX_LEN:
         flat2 = vflat.reshape(-1, G * L)  # leading-dim collapse only
-        out = count_sort_segments(flat2, L=L, interpret=interpret)
+        out = count_sort_segments(flat2, L=L, interpret=interpret, strip=_seg_strip(L))
         return out.reshape(shape)
     return sort_rows_auto(vflat.reshape(-1, L)).reshape(shape)
 
@@ -355,7 +362,9 @@ def apply_ranked_flat(res_flat, q_flat, region_host_flat, L: int):
     if use and L % 8 == 0:
         q2 = q_flat.reshape(-1, GL)  # leading-dim collapse only
         r2 = jnp.broadcast_to(res_flat, q_flat.shape).reshape(-1, GL)
-        return rank_map_segments(q2, r2, L=L, interpret=interpret).reshape(*lead, GL)
+        return rank_map_segments(
+            q2, r2, L=L, interpret=interpret, strip=_seg_strip(L)
+        ).reshape(*lead, GL)
     region = jnp.broadcast_to(
         jnp.asarray(region_host_flat), (*lead, GL)
     ).reshape(-1, L)

@@ -66,10 +66,12 @@ def _sort_groups_3d(masked3, Lt: int):
     else:
         use, interpret = _seg_kernel_ok(masked3.dtype, Lt), False
     if use and Lt % 8 == 0 and Lt <= _COUNT_SORT_MAX_LEN:
+        from .grouped import _seg_strip
+
         flat = masked3.reshape(-1, Gc * Lt_)
-        return count_sort_segments(flat, L=Lt, interpret=interpret).reshape(
-            masked3.shape
-        )
+        return count_sort_segments(
+            flat, L=Lt, interpret=interpret, strip=_seg_strip(Lt)
+        ).reshape(masked3.shape)
     return sort_rows_auto(masked3.reshape(-1, Lt)).reshape(masked3.shape)
 
 __all__ = ["StreamTables", "build_stream_tables", "streaming_qm_transform"]

@@ -253,3 +253,39 @@ def test_grouped_fit_sort_segment_kernel_matches_xla(rng):
     with rowsort.override(force=True, interpret=True):
         got = np.asarray(cunnane_fit_padded(xg, groups).vals)
     npt.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("strip", [8, 16])
+def test_segment_kernels_strip_variants(rng, strip):
+    """strip=16 (used when L % 16 == 0) must be bit-identical to strip=8."""
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import (
+        count_sort_segments,
+        rank_map_segments,
+    )
+
+    B, G, L = 11, 3, 48
+    x = _specials(rng, B * G, L).reshape(B, G * L)
+    got = np.asarray(
+        count_sort_segments(jnp.asarray(x), L=L, interpret=True, strip=strip)
+    )
+    want = np.sort(x.reshape(B * G, L), axis=1).reshape(B, G * L)
+    npt.assert_array_equal(got, want)
+    res = np.sort(rng.normal(0, 1, (B * G, L)).astype(np.float32), axis=1)
+    got = np.asarray(
+        rank_map_segments(
+            jnp.asarray(x), jnp.asarray(res.reshape(B, G * L)), L=L,
+            interpret=True, strip=strip,
+        )
+    )
+    want = np.asarray(
+        rank_map_rows_ref(x.reshape(B * G, L), res).reshape(B, G * L)
+    )
+    npt.assert_array_equal(
+        np.where(np.isnan(got), -9.0, got), np.where(np.isnan(want), -9.0, want)
+    )
+
+
+def rank_map_rows_ref(x, res):
+    from skdownscale_tpu.ops.pallas.rank_map_kernel import rank_map_rows
+
+    return np.asarray(rank_map_rows(jnp.asarray(x), jnp.asarray(res), interpret=True))
