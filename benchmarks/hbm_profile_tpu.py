@@ -203,6 +203,56 @@ def config2b(n_cells=1048576, n_time=480):
     capture("monthly_stream_1m", run, lowered)
 
 
+def config7(n_cells=32768, n_years=20, window=31):
+    """zscore 32k (BASELINE config 7): gathers + windowed sums, no sorts —
+    the lowest headline hbm_util; this capture shows where the busy time
+    actually goes."""
+    import pandas as pd
+
+    from skdownscale_tpu.models.zscore import (
+        build_year_doy_table,
+        expand_indices,
+        zscore_fit,
+        zscore_predict,
+    )
+
+    rng = np.random.default_rng(0)
+    index = pd.date_range("1990-01-01", periods=n_years * 365 + 5, freq="D")
+    n_time = len(index)
+    seas = 10.0 * np.sin(2 * np.pi * (index.dayofyear.to_numpy() - 1) / 365.25).astype(np.float32)
+    x = (283.0 + seas[None, :] + rng.normal(0, 2, (n_cells, n_time)) + 1.5).astype(np.float32)
+    y = (282.0 + seas[None, :] + rng.normal(0, 1.8, (n_cells, n_time))).astype(np.float32)
+    idx, mask = build_year_doy_table(index)
+    inds = expand_indices(n_time)
+    idxd, maskd, indsd = jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(inds)
+    fitj = jax.jit(jax.vmap(lambda a, b: zscore_fit(a, b, idxd, maskd, window=window)))
+    predj = jax.jit(jax.vmap(lambda s, xx: zscore_predict(s, xx, indsd, window=window)[0]))
+    xd, yd = jax.device_put(x), jax.device_put(y)
+
+    def run():
+        state = fitj(xd, yd)
+        return float(jnp.nansum(predj(state, xd)))
+
+    state = fitj(xd, yd)
+    capture("zscore_32k", run, [fitj.lower(xd, yd), predj.lower(state, xd)])
+
+
+def config3(n_cells=16384, n_fit=7300, n_predict=3650):
+    """QDM general path (BASELINE config 3): the sort-bound config."""
+    from skdownscale_tpu.models.quantile import edcdfm_predict, qmr_fit
+
+    _, x, y = _example(n_cells, n_fit)
+    _, xq, _ = _example(n_cells, n_predict, seed=1)
+    xd, yd, xqd = jax.device_put(x), jax.device_put(y), jax.device_put(xq)
+
+    def run():
+        st = qmr_fit(xd, yd, extrapolate="both")
+        out = edcdfm_predict(st, xqd, kind="difference", extrapolate="both")
+        return float(jnp.sum(out))
+
+    capture("qdm_general_16k", run, [])
+
+
 if __name__ == "__main__":
     configs = sys.argv[1:] or ["2", "5"]
     if "2" in configs:
@@ -211,3 +261,7 @@ if __name__ == "__main__":
         config5()
     if "2b" in configs:
         config2b()
+    if "7" in configs:
+        config7()
+    if "3" in configs:
+        config3()
