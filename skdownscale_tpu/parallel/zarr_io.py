@@ -29,21 +29,22 @@ class ZarrGridSource:
 
     Parameters
     ----------
-    store : str
+    store : str or mapping
         Path to a zarr (v2 or v3) array, or a group containing ``var`` (and
         optionally a 1-D ``time`` member; ``int64`` time values with attr
         ``{"kind": "datetime64[ns]"}`` round-trip a pandas DatetimeIndex).
+        Any dict-like key->bytes mapping also works (fsspec/S3 mapper, plain
+        dict — see :mod:`skdownscale_tpu.utils.zarrlite`'s store abstraction),
+        which is how production hosts read object-store zarr like the
+        reference's ``s3://carbonplan/...`` examples.
     var : str, optional
         Group member name (required when ``store`` is a group).
     """
 
-    def __init__(self, store: str, var: str | None = None):
-        import os
-
-        if os.path.exists(os.path.join(store, ".zgroup")) or (
-            zarrlite._v3_node_type(store) == "group"
-        ):
-            grp = zarrlite.open_group(store)
+    def __init__(self, store, var: str | None = None):
+        st = zarrlite._as_store(store)
+        if ".zgroup" in st or zarrlite._v3_node_type(st) == "group":
+            grp = zarrlite.open_group(st)
             if var is None:
                 keys = [k for k in grp.array_keys() if k != "time"]
                 if len(keys) != 1:
@@ -52,7 +53,7 @@ class ZarrGridSource:
             self.array = grp[var]
             self._time = grp["time"] if "time" in grp else None
         else:
-            self.array = zarrlite.open_array(store)
+            self.array = zarrlite.open_array(st)
             self._time = None
         self.var = var
         self.n_time = self.array.shape[0]

@@ -147,6 +147,9 @@ def _load_blosc():
         lib.zstdlite_decompress.restype = i64
         lib.zstdlite_content_size.argtypes = [ctypes.c_char_p, i64]
         lib.zstdlite_content_size.restype = i64
+        if hasattr(lib, "blosclite_crc32c"):  # round-5 addition; tolerate old .so
+            lib.blosclite_crc32c.argtypes = [ctypes.c_char_p, i64]
+            lib.blosclite_crc32c.restype = i64
         _blosc_lib = lib
         return _blosc_lib
 
@@ -200,6 +203,16 @@ def blosc_compress(buf: bytes, typesize: int = 1, shuffle: int = 1) -> bytes:
     if rc < 0:
         _blosc_raise(rc)
     return out[:rc].tobytes()
+
+
+def crc32c(data: bytes) -> int | None:
+    """CRC-32C (Castagnoli) via the native library (SSE4.2 / slicing-by-8);
+    ``None`` when the library is unavailable (callers fall back to the
+    pure-python table in :mod:`.zarrlite`)."""
+    lib = _load_blosc()
+    if lib is None or not hasattr(lib, "blosclite_crc32c"):
+        return None
+    return int(lib.blosclite_crc32c(data, len(data))) & 0xFFFFFFFF
 
 
 def zstd_decompress(buf: bytes, nbytes: int | None = None) -> bytes:

@@ -5,6 +5,8 @@ parallel/zarr_io (host-slice mapping onto the chunked store feeding the
 cell-sharded mesh; VERDICT r2 missing #2 / next #6).
 """
 
+import json
+
 import numpy as np
 import numpy.testing as npt
 import pandas as pd
@@ -404,7 +406,9 @@ def test_v3_handbuilt_store_reads(tmp_path):
     }
     (root / "zarr.json").write_text(json.dumps(meta))
     co = _z.compressobj(5, _z.DEFLATED, 31)
-    buf = co.compress(a.tobytes()) + co.flush() + b"\x00\x00\x00\x00"  # fake crc
+    body = co.compress(a.tobytes()) + co.flush()
+    # real crc32c suffix — round 5 VERIFIES chunk checksums on read
+    buf = body + zarrlite._crc32c(body).to_bytes(4, "little")
     (root / "0.0").write_bytes(buf)
     z = zarrlite.open_array(str(root))
     assert z.dtype == np.dtype(">i4")
@@ -524,14 +528,37 @@ def test_v3_unsupported_features_raise(tmp_path):
                 ],
             )
         )
+    # non-identity transpose is SUPPORTED since round 5 in plain chains; the
+    # remaining restriction is a transpose OUTSIDE a sharding_indexed codec
     with pytest.raises(NotImplementedError, match="transpose"):
         zarrlite.open_array(
             mkstore(
-                "transp",
+                "transp_shard",
                 shape=[4, 4],
                 chunk_grid={"name": "regular", "configuration": {"chunk_shape": [4, 4]}},
                 codecs=[
                     {"name": "transpose", "configuration": {"order": [1, 0]}},
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": [2, 2],
+                            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+                            "index_codecs": [
+                                {"name": "bytes", "configuration": {"endian": "little"}}
+                            ],
+                        },
+                    },
+                ],
+            )
+        )
+    with pytest.raises(ValueError, match="not a permutation"):
+        zarrlite.open_array(
+            mkstore(
+                "transp_bad",
+                shape=[4, 4],
+                chunk_grid={"name": "regular", "configuration": {"chunk_shape": [4, 4]}},
+                codecs=[
+                    {"name": "transpose", "configuration": {"order": [0, 0]}},
                     {"name": "bytes", "configuration": {"endian": "little"}},
                 ],
             )
@@ -845,3 +872,166 @@ def test_v3_sharded_interop_with_real_zarr(tmp_path, rng):
         str(tmp_path / "ours.zarr"), a, chunks=(2, 3), shards=(4, 9), zarr_format=3
     )
     npt.assert_array_equal(np.asarray(zarr.open_array(p, mode="r")[:]), a)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: store abstraction, verified chunk crc32c, non-identity transpose
+# (VERDICT r4 missing #2/#3)
+# ---------------------------------------------------------------------------
+
+
+def test_crc32c_native_matches_python(rng):
+    from skdownscale_tpu.utils import native
+    from skdownscale_tpu.utils.zarrlite import _crc32c_py
+
+    if native.crc32c(b"") is None:
+        pytest.skip("native library unavailable")
+    for n in (0, 1, 7, 8, 9, 63, 64, 100_000):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert native.crc32c(data) == _crc32c_py(data)
+
+
+@pytest.mark.parametrize("checksum", [False, True])
+@pytest.mark.parametrize("store_kind", ["fs", "dict"])
+def test_memory_store_roundtrip(tmp_path, rng, store_kind, checksum):
+    """Any dict-like mapping works as a store (v2 and v3)."""
+    a = rng.normal(size=(9, 7)).astype(np.float32)
+    for fmt in (2, 3):
+        if checksum and fmt == 2:
+            continue
+        store = {} if store_kind == "dict" else str(tmp_path / f"s{fmt}{checksum}.zarr")
+        zarrlite.save_array(store, a, chunks=(4, 3), zarr_format=fmt,
+                            checksum=checksum, attrs={"k": 1})
+        z = zarrlite.open_array(store)
+        assert z.attrs == {"k": 1}
+        npt.assert_array_equal(np.asarray(z), a)
+
+
+def test_memory_store_group_and_grid_source(rng):
+    """save_group/open_group/ZarrGridSource on a plain dict store — the
+    fsspec-mapper contract (the reference reads s3:// stores through exactly
+    this mapping interface, ref examples/utils.py:12-30)."""
+    from skdownscale_tpu.parallel.zarr_io import ZarrGridSource
+
+    T, ny, nx = 24, 3, 4
+    g = rng.normal(280, 5, size=(T, ny, nx)).astype(np.float32)
+    t = np.asarray(pd.date_range("2000-01-01", periods=T, freq="MS"),
+                   dtype="datetime64[ns]").view(np.int64)
+    store = {}
+    zarrlite.save_group(store, {"gcm": g, "time": t}, zarr_format=3,
+                        chunks={"gcm": (T, 2, nx), "time": (T,)}, checksum=True)
+    zarrlite.save_array(store, t, prefix="time", zarr_format=3,
+                        attrs={"kind": "datetime64[ns]"})
+    grp = zarrlite.open_group(store)
+    assert grp.array_keys() == ["gcm", "time"]
+    src = ZarrGridSource(store, "gcm")
+    assert src.n_cells == ny * nx
+    npt.assert_allclose(src.read_cells(0, src.n_cells),
+                        g.reshape(T, -1).T.astype(float), rtol=0, atol=0)
+    assert isinstance(src.index, pd.DatetimeIndex)
+
+
+def test_fsstore_listdir_and_iter(tmp_path, rng):
+    from skdownscale_tpu.utils.zarrlite import FsStore
+
+    a = rng.normal(size=(4, 4)).astype(np.float32)
+    p = str(tmp_path / "g.zarr")
+    zarrlite.save_group(p, {"x": a, "y": a}, zarr_format=3)
+    st = FsStore(p)
+    assert st.listdir() == ["x", "y", "zarr.json"]
+    assert "x/zarr.json" in st
+    assert "x/zarr.json" in set(st)
+    assert json.loads(st["zarr.json"])["node_type"] == "group"
+
+
+def test_v3_chunk_crc32c_detects_corruption(tmp_path, rng):
+    """checksum=True writes the crc32c codec; a flipped payload byte is
+    detected on read (VERDICT r4 missing #3 — previously stripped silently)."""
+    a = rng.normal(size=(8, 6)).astype(np.float32)
+    p = str(tmp_path / "c.zarr")
+    zarrlite.save_array(p, a, chunks=(4, 6), zarr_format=3, checksum=True, compressor="zlib")
+    npt.assert_array_equal(np.asarray(zarrlite.open_array(p)), a)
+    fp = tmp_path / "c.zarr" / "c" / "1" / "0"
+    raw = bytearray(fp.read_bytes())
+    raw[0] ^= 0x01
+    fp.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        np.asarray(zarrlite.open_array(p))
+
+
+def test_v3_sharded_inner_chunk_crc32c(tmp_path, rng):
+    """checksum=True with shards= checksums every inner chunk; corruption of
+    one inner payload byte is detected."""
+    a = rng.normal(size=(8, 6)).astype(np.float32)
+    p = str(tmp_path / "sc.zarr")
+    zarrlite.save_array(p, a, chunks=(2, 3), shards=(4, 6), zarr_format=3,
+                        checksum=True, compressor=None)
+    npt.assert_array_equal(np.asarray(zarrlite.open_array(p)), a)
+    fp = tmp_path / "sc.zarr" / "c" / "0" / "0"
+    raw = bytearray(fp.read_bytes())
+    raw[1] ^= 0x80  # inside the first inner chunk payload (index is at end)
+    fp.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        np.asarray(zarrlite.open_array(p))
+
+
+@pytest.mark.parametrize("order", [(1, 0), (2, 0, 1), (0, 2, 1)])
+def test_v3_transpose_roundtrip(tmp_path, rng, order):
+    shape = (6, 4) if len(order) == 2 else (6, 4, 5)
+    a = rng.normal(size=shape).astype(np.float32)
+    p = str(tmp_path / f"t{len(order)}{order[0]}.zarr")
+    zarrlite.save_array(p, a, chunks=tuple(max(s // 2, 1) for s in shape),
+                        zarr_format=3, transpose=order, checksum=True)
+    meta = json.loads((tmp_path / f"t{len(order)}{order[0]}.zarr" / "zarr.json").read_text())
+    assert meta["codecs"][0]["name"] == "transpose"
+    npt.assert_array_equal(np.asarray(zarrlite.open_array(p)), a)
+
+
+def test_v3_composed_transposes_handbuilt(tmp_path):
+    """Two stacked transpose codecs compose (spec allows repetition)."""
+    a = np.arange(24, dtype="<f4").reshape(2, 3, 4)
+    o1, o2 = (2, 0, 1), (1, 0, 2)
+    composed = tuple(o1[d] for d in o2)
+    root = tmp_path / "tc.zarr"
+    root.mkdir()
+    (root / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2, 3, 4],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3, 4]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": list(o1)}},
+            {"name": "transpose", "configuration": {"order": list(o2)}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+        "attributes": {},
+    }))
+    (root / "c").mkdir()
+    (root / "c" / "0").mkdir()
+    (root / "c" / "0" / "0").mkdir()
+    (root / "c" / "0" / "0" / "0").write_bytes(
+        np.ascontiguousarray(np.transpose(a, composed)).tobytes()
+    )
+    npt.assert_array_equal(np.asarray(zarrlite.open_array(str(root))), a)
+
+
+def test_v3_transpose_interop_with_real_zarr(tmp_path, rng):
+    """Our transpose+crc32c chain opens in real zarr-python (gated)."""
+    zarr = pytest.importorskip("zarr")
+    if not hasattr(zarr, "create_array"):
+        pytest.skip("zarr-python < 3")
+    a = rng.normal(size=(6, 4)).astype(np.float32)
+    p = zarrlite.save_array(str(tmp_path / "ours.zarr"), a, chunks=(3, 4),
+                            zarr_format=3, transpose=(1, 0), checksum=True)
+    npt.assert_array_equal(np.asarray(zarr.open_array(p, mode="r")[:]), a)
+    # and the reverse: a real-zarr store with TransposeCodec reads here
+    from zarr.codecs import BytesCodec, TransposeCodec
+
+    za = zarr.create_array(
+        store=str(tmp_path / "real.zarr"), shape=a.shape, chunks=(3, 4),
+        dtype=a.dtype, zarr_format=3,
+        serializer=BytesCodec(), filters=[TransposeCodec(order=(1, 0))],
+    )
+    za[:] = a
+    npt.assert_array_equal(np.asarray(zarrlite.open_array(str(tmp_path / "real.zarr"))), a)
