@@ -9,7 +9,16 @@ checkpoint is just that pytree (numpy-ified) plus grid metadata.  ``save`` /
 ``save_state``/``load_state`` handle bare state pytrees.
 
 Format: a single pickle of numpy arrays + metadata (our own trusted
-artifacts; the state trees are NamedTuples/dicts of ndarrays).
+artifacts; the state trees are NamedTuples/dicts of ndarrays).  Every
+payload carries a ``version`` stamp; :func:`load`/:func:`load_state` refuse
+newer-format files with a named error instead of mis-reading them, and older
+versions get an explicit migration path (none needed yet — v1 is current).
+
+Sharding: checkpoints are device-layout-free.  ``_numpyify`` gathers
+mesh-sharded fitted state to host numpy (``np.asarray`` on a
+fully-addressable sharded array performs the gather), so state saved from an
+8-device mesh loads on 1 device and vice versa; pass ``sharding=`` to
+:func:`load` to re-shard the restored downscaler onto a mesh.
 """
 
 from __future__ import annotations
@@ -28,8 +37,22 @@ def _numpyify(state):
     return jax.tree_util.tree_map(np.asarray, state)
 
 
+def _check_version(payload, path):
+    v = payload.get("version")
+    if v == _FORMAT_VERSION:
+        return
+    if isinstance(v, int) and v > _FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has format version {v}, newer than this "
+            f"library's {_FORMAT_VERSION}; upgrade skdownscale_tpu to read it"
+        )
+    # v1 is the first released format; anything else is not ours
+    raise ValueError(f"checkpoint {path!r} has unrecognized format version {v!r}")
+
+
 def save_state(path: str, state) -> None:
-    """Save any pytree-of-arrays fitted state to ``path``."""
+    """Save any pytree-of-arrays fitted state to ``path`` (mesh-sharded
+    arrays are gathered to host first; see module docstring)."""
     with open(path, "wb") as f:
         pickle.dump({"version": _FORMAT_VERSION, "state": _numpyify(state)}, f)
 
@@ -37,6 +60,7 @@ def save_state(path: str, state) -> None:
 def load_state(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    _check_version(payload, path)
     return payload["state"]
 
 
@@ -68,8 +92,14 @@ def save(path: str, downscaler) -> None:
         pickle.dump(payload, f)
 
 
-def load(path: str):
-    """Restore a fitted ``PointWiseDownscaler`` from :func:`save` output."""
+def load(path: str, sharding=None):
+    """Restore a fitted ``PointWiseDownscaler`` from :func:`save` output.
+
+    ``sharding`` (a ``jax.sharding.Mesh``/``NamedSharding``, optional)
+    re-shards the restored downscaler's device passes over a mesh — the
+    save-on-N-devices / load-on-M-devices path (state itself is stored
+    gathered, so N and M are independent).
+    """
     import importlib
 
     from ..pointwise import PointWiseDownscaler, _dataarray_type
@@ -77,6 +107,7 @@ def load(path: str):
 
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    _check_version(payload, path)
 
     mod_name, _, cls_name = payload["model_class"].rpartition(".")
     cls = getattr(importlib.import_module(mod_name), cls_name)
@@ -84,7 +115,7 @@ def load(path: str):
     for k, v in payload.get("model_extra", {}).items():
         setattr(model, k, v)
 
-    d = PointWiseDownscaler(model, dim=payload["dim"])
+    d = PointWiseDownscaler(model, dim=payload["dim"], sharding=sharding)
     d._mask = payload["mask"]
     d._cell_ids = payload["cell_ids"]
     d._px_meta = payload["px_meta"]
