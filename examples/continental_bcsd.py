@@ -11,10 +11,12 @@ Usage: python examples/continental_bcsd.py [n_side]   (grid is n_side^2 cells;
 default 256 -> 65,536 cells so the example also runs quickly on CPU)
 
        python examples/continental_bcsd.py [n_side] --zarr [DIR]
-           read inputs from a zarr v2 store (written on first run): the
-           production input path — each host reads only its own cell slice
-           from the chunked store (parallel/zarr_io.py; the reference's
-           equivalent pulls zarr via s3fs+dask, examples/utils.py:12-77)
+           the full production loop: read GCM+obs from a zarr store (written
+           on first run), run chunked BCSD on device with the double-buffered
+           host feed, write the corrected grid back as zarr v3 — and print
+           the read / pack / h2d / device / write stage split
+           (parallel/pipeline.py; the reference's equivalent pulls zarr via
+           s3fs+dask and writes with xarray, examples/utils.py:12-77)
 """
 
 import sys
@@ -52,21 +54,11 @@ def _write_store(path, n_side, index):
     return path
 
 
-def _load_zarr(path, n_side):
-    """Read the per-host cell slice from the store and rebuild (T, y, x)
-    arrays for the runner (single-host here; on a pod each process would
-    call feed_zarr_cells and run the batched cores on the sharded array)."""
-    from skdownscale_tpu.parallel.zarr_io import ZarrGridSource
-
-    gcm = ZarrGridSource(path, "gcm")
-    obs = ZarrGridSource(path, "obs")
-    index = gcm.index
-    X = gcm.read_cells(0, gcm.n_cells).T.reshape(len(index), n_side, n_side)
-    y = obs.read_cells(0, obs.n_cells).T.reshape(len(index), n_side, n_side)
-    return X.astype(np.float32), y.astype(np.float32), index
-
-
 def main():
+    if "--cpu" in sys.argv:  # env-var platform forcing is unreliable (CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_side = int(args[0]) if args else 256
     index = pd.date_range("1970-01-01", periods=480, freq="MS")
@@ -74,6 +66,9 @@ def main():
 
     if "--zarr" in sys.argv:
         import os
+
+        from skdownscale_tpu.parallel.pipeline import run_pointwise_pipeline
+        from skdownscale_tpu.utils import zarrlite
 
         i = sys.argv.index("--zarr")
         store = (
@@ -84,8 +79,24 @@ def main():
         if not os.path.exists(store):
             print(f"writing synthetic store {store} ...")
             _write_store(store, n_side, index)
-        X, y, index = _load_zarr(store, n_side)
-        print(f"read {X.shape} from zarr store {store}")
+        out_store = store.rstrip("/") + ".corrected"
+        rep = run_pointwise_pipeline(
+            store,
+            out_store,
+            sdt.BcsdTemperature(return_anoms=False),
+            cell_chunk=131072,
+            zarr_format=3,
+            compressor="blosc",
+            checksum=True,
+        )
+        print(f"store -> chip -> store ({store} -> {out_store}):")
+        print("  " + rep.summary())
+        out = zarrlite.open_group(out_store)
+        v = np.asarray(out["corrected"])
+        obs = np.asarray(zarrlite.open_group(store)["obs"])
+        print(f"  ocean cell NaN-preserved: {np.isnan(v[:, 0, 0]).all()}")
+        print(f"  bias removed: corrected mean {np.nanmean(v):.3f} vs obs {np.nanmean(obs):.3f}")
+        return
     else:
         rng = np.random.default_rng(0)
         seasonal = 8.0 * np.sin(2 * np.pi * (index.month.to_numpy() - 1) / 12)

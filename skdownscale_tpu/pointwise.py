@@ -296,17 +296,25 @@ class PointWiseDownscaler:
                 raise ValueError("X and y must share an identical time index")
 
         if _b.supports_batched(self._model):
+            from .utils.prefetch import prefetched
+
             self._state_plan = self._plan_chunks(px)
-            self._state = [
-                _b.batched_fit(
-                    self._model,
-                    self._fit_index,
-                    self._device(self._bucket_pad(self._compact(px, ids, span))),
+
+            def _prep(span_ids):
+                span, ids = span_ids
+                xd = self._device(self._bucket_pad(self._compact(px, ids, span)))
+                yd = (
                     self._device(self._bucket_pad(self._compact(py, ids, span)[:, :, 0]))
                     if py is not None
-                    else None,
+                    else None
                 )
-                for span, ids in self._state_plan
+                return xd, yd
+
+            # double-buffered host feed: pack + device_put chunk i+1 while
+            # the device fits chunk i (utils/prefetch.py; VERDICT r4 next #1)
+            self._state = [
+                _b.batched_fit(self._model, self._fit_index, xd, yd)
+                for xd, yd in prefetched(self._state_plan, _prep)
             ]
             self._models = None
         else:
@@ -381,18 +389,26 @@ class PointWiseDownscaler:
         mask = self._mask
 
         if self._state is not None:
+            from .utils.prefetch import prefetched
+
+            # double-buffered: pack + device_put chunk i+1 while the device
+            # predicts chunk i and the host reads back its output
             out_v = np.concatenate(
                 [
                     np.asarray(
                         _b.batched_predict(
-                            self._model,
-                            st,
-                            self._fit_index,
-                            self._device(self._bucket_pad(self._compact(px, ids, span))),
-                            px["index"],
+                            self._model, st, self._fit_index, xd, px["index"]
                         )
                     )[: len(ids)]
-                    for (span, ids), st in zip(self._state_plan, self._state)
+                    for ((span, ids), st), xd in zip(
+                        zip(self._state_plan, self._state),
+                        prefetched(
+                            self._state_plan,
+                            lambda si: self._device(
+                                self._bucket_pad(self._compact(px, si[1], si[0]))
+                            ),
+                        ),
+                    )
                 ],
                 axis=0,
             )
@@ -439,19 +455,24 @@ class PointWiseDownscaler:
         T, C = px["T"], px["n_cells"]
 
         if self._state is not None:
+            from .utils.prefetch import prefetched
+
             out_v = np.concatenate(
                 [
                     np.asarray(
                         _b.batched_transform(
-                            self._model,
-                            st,
-                            self._fit_index,
-                            self._device(self._bucket_pad(self._compact(px, ids, span))),
-                            px["index"],
-                            direction,
+                            self._model, st, self._fit_index, xd, px["index"], direction
                         )
                     )[: len(ids)]
-                    for (span, ids), st in zip(self._state_plan, self._state)
+                    for ((span, ids), st), xd in zip(
+                        zip(self._state_plan, self._state),
+                        prefetched(
+                            self._state_plan,
+                            lambda si: self._device(
+                                self._bucket_pad(self._compact(px, si[1], si[0]))
+                            ),
+                        ),
+                    )
                 ],
                 axis=0,
             )

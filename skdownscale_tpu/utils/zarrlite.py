@@ -65,6 +65,7 @@ import numpy as np
 __all__ = [
     "ZarrArray",
     "ZarrGroup",
+    "ZarrChunkWriter",
     "FsStore",
     "save_array",
     "open_array",
@@ -752,6 +753,197 @@ def _encode_v3_shard(block, inner, comp, itemsize, fill, checksum=False) -> byte
     return b"".join(payloads) + idx
 
 
+class ZarrChunkWriter:
+    """Incremental chunk-at-a-time zarr array writer.
+
+    Metadata is written up front; store chunks are encoded and written as
+    they are produced — the output side of the streaming pipeline
+    (``parallel/pipeline.py``), which corrects a continental grid one cell
+    chunk at a time and cannot hold the full output in memory.
+    :func:`save_array` is this class driven over a whole in-memory array.
+
+    Same knobs as :func:`save_array` (``shards`` / ``checksum`` /
+    ``transpose`` are v3-only).  ``write_chunk(idx, block)`` takes the
+    STORE-chunk index (shard index when sharding) and that region's data
+    (full store-chunk shape, or smaller at array edges — padded with fill
+    here, as zarr stores edge chunks full-size)."""
+
+    def __init__(
+        self, store, *, shape, dtype, chunks=None, shards=None, compressor="zlib",
+        attrs=None, zarr_format=2, prefix="", checksum=False, transpose=None,
+    ):
+        store = _as_store(store)
+        if prefix and not prefix.endswith("/"):
+            prefix += "/"
+        self.store = store
+        self.prefix = prefix
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        ndim = len(self.shape)
+        if chunks is None:
+            chunks = (shards if shards is not None else self.shape) if ndim else (1,)
+        chunks = tuple(int(c) for c in chunks)
+        if shards is not None:
+            if zarr_format != 3:
+                raise ValueError("shards= requires zarr_format=3 (v3 sharding codec)")
+            shards = tuple(int(s) for s in shards)
+            if len(shards) != len(chunks) or any(s % c for s, c in zip(shards, chunks)):
+                raise ValueError(
+                    f"shards {shards} must be an elementwise multiple of chunks {chunks}"
+                )
+        if checksum and zarr_format != 3:
+            raise ValueError("checksum=True requires zarr_format=3 (crc32c is a v3 codec)")
+        if transpose is not None:
+            if zarr_format != 3:
+                raise ValueError("transpose= requires zarr_format=3 (v3 transpose codec)")
+            if shards is not None:
+                raise NotImplementedError(
+                    "transpose= with shards= is not supported (spec allows it but "
+                    "zarr-python puts transposes inside shards; so do we — unsharded only)"
+                )
+            transpose = tuple(int(d) for d in transpose)
+            if sorted(transpose) != list(range(ndim)):
+                raise ValueError(
+                    f"transpose {list(transpose)} is not a permutation of range({ndim})"
+                )
+        if compressor is None:
+            comp = None
+        elif compressor == "blosc":
+            comp = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
+        else:
+            comp = {"id": compressor, "level": 5}
+        if zarr_format == 2:
+            _put_json(
+                store,
+                prefix + ".zarray",
+                {
+                    "zarr_format": 2,
+                    "shape": list(self.shape),
+                    "chunks": list(chunks),
+                    "dtype": self.dtype.str,
+                    "compressor": comp,
+                    "fill_value": _fill_json(self.dtype),
+                    "order": "C",
+                    "filters": None,
+                    "dimension_separator": ".",
+                },
+            )
+            if attrs:
+                _put_json(store, prefix + ".zattrs", attrs)
+            self._key = lambda idx: ".".join(str(i) for i in idx)
+        elif zarr_format == 3:
+            base = self.dtype.str.lstrip("<>|=")
+            name = _V3_DTYPE_NAMES.get(base)
+            if name is None:
+                raise ValueError(f"dtype {self.dtype} has no zarr v3 core data type")
+            codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+            if comp is not None:
+                cid = comp["id"]
+                if cid == "blosc":
+                    codecs.append(
+                        {
+                            "name": "blosc",
+                            "configuration": {
+                                "cname": "lz4",
+                                "clevel": 5,
+                                "shuffle": "shuffle",
+                                "typesize": self.dtype.itemsize,
+                                "blocksize": 0,
+                            },
+                        }
+                    )
+                elif cid in ("zlib", "gzip"):
+                    # v3 has no zlib codec name; write gzip (wbits=47 reads both)
+                    codecs.append({"name": "gzip", "configuration": {"level": 5}})
+                    comp = {"id": "gzip", "level": 5}
+                else:
+                    raise ValueError(f"compressor {cid!r} unsupported for v3 writes")
+            if checksum:
+                codecs.append({"name": "crc32c"})
+            if transpose is not None:
+                codecs.insert(
+                    0, {"name": "transpose", "configuration": {"order": list(transpose)}}
+                )
+            if shards is not None:
+                codecs = [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": list(chunks),
+                            "codecs": codecs,
+                            "index_codecs": [
+                                {"name": "bytes", "configuration": {"endian": "little"}},
+                                {"name": "crc32c"},
+                            ],
+                            "index_location": "end",
+                        },
+                    }
+                ]
+            _put_json(
+                store,
+                prefix + "zarr.json",
+                {
+                    "zarr_format": 3,
+                    "node_type": "array",
+                    "shape": list(self.shape),
+                    "data_type": name,
+                    "chunk_grid": {
+                        "name": "regular",
+                        "configuration": {"chunk_shape": list(shards or chunks)},
+                    },
+                    "chunk_key_encoding": {
+                        "name": "default",
+                        "configuration": {"separator": "/"},
+                    },
+                    "fill_value": _fill_json(self.dtype),
+                    "codecs": codecs,
+                    "attributes": attrs or {},
+                },
+            )
+            self._key = lambda idx: "c" + "".join("/" + str(i) for i in idx)
+        else:
+            raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
+        self.zarr_format = zarr_format
+        self.chunks = chunks
+        self.shards = shards
+        self.transpose = transpose
+        self.checksum = checksum
+        self._comp = comp
+        self.store_chunks = shards if shards is not None else chunks
+        self.n_chunks = tuple(-(-s // c) for s, c in zip(self.shape, self.store_chunks))
+        self._fill = _fill_scalar(_fill_json(self.dtype), self.dtype)
+
+    def write_chunk(self, idx, block) -> None:
+        """Encode + store the store-chunk at grid index ``idx``.  ``block``
+        holds that region's data (edge chunks may come in smaller; they are
+        stored full-size and fill-padded, per the zarr chunk model)."""
+        idx = tuple(int(i) for i in idx)
+        block = np.asarray(block)
+        if self.zarr_format == 3:
+            block = block.astype(self.dtype.newbyteorder("<"), copy=False)
+        else:
+            block = block.astype(self.dtype, copy=False)
+        if block.shape != self.store_chunks:
+            full = np.full(self.store_chunks, self._fill, block.dtype)
+            full[tuple(slice(0, s) for s in block.shape)] = block
+            block = full
+        if self.shards is not None:
+            buf = _encode_v3_shard(
+                block, self.chunks, self._comp, self.dtype.itemsize, self._fill,
+                checksum=self.checksum,
+            )
+        elif self.zarr_format == 3:
+            buf = _encode_v3_chunk(
+                block, self._comp, self.dtype.itemsize, order=self.transpose,
+                checksum=self.checksum,
+            )
+        else:
+            buf = _compress(
+                np.ascontiguousarray(block).tobytes(), self._comp, self.dtype.itemsize
+            )
+        self.store[self.prefix + self._key(idx)] = buf
+
+
 def save_array(
     store, arr, *, chunks=None, shards=None, compressor="zlib", attrs=None,
     zarr_format=2, prefix="", checksum=False, transpose=None,
@@ -772,164 +964,16 @@ def save_array(
     verified on every read.  ``transpose`` (v3, unsharded) writes chunks
     through a ``transpose`` codec with the given axis order.
     """
-    ret = store
-    store = _as_store(store)
-    if prefix and not prefix.endswith("/"):
-        prefix += "/"
     arr = np.ascontiguousarray(arr)
-    if chunks is None:
-        chunks = (shards if shards is not None else arr.shape) if arr.ndim else (1,)
-    chunks = tuple(int(c) for c in chunks)
-    if shards is not None:
-        if zarr_format != 3:
-            raise ValueError("shards= requires zarr_format=3 (v3 sharding codec)")
-        shards = tuple(int(s) for s in shards)
-        if len(shards) != len(chunks) or any(s % c for s, c in zip(shards, chunks)):
-            raise ValueError(
-                f"shards {shards} must be an elementwise multiple of chunks {chunks}"
-            )
-    if checksum and zarr_format != 3:
-        raise ValueError("checksum=True requires zarr_format=3 (crc32c is a v3 codec)")
-    if transpose is not None:
-        if zarr_format != 3:
-            raise ValueError("transpose= requires zarr_format=3 (v3 transpose codec)")
-        if shards is not None:
-            raise NotImplementedError(
-                "transpose= with shards= is not supported (spec allows it but "
-                "zarr-python puts transposes inside shards; so do we — unsharded only)"
-            )
-        transpose = tuple(int(d) for d in transpose)
-        if sorted(transpose) != list(range(arr.ndim)):
-            raise ValueError(
-                f"transpose {list(transpose)} is not a permutation of range({arr.ndim})"
-            )
-    if compressor is None:
-        comp = None
-    elif compressor == "blosc":
-        comp = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
-    else:
-        comp = {"id": compressor, "level": 5}
-    if zarr_format == 2:
-        _put_json(
-            store,
-            prefix + ".zarray",
-            {
-                "zarr_format": 2,
-                "shape": list(arr.shape),
-                "chunks": list(chunks),
-                "dtype": arr.dtype.str,
-                "compressor": comp,
-                "fill_value": _fill_json(arr.dtype),
-                "order": "C",
-                "filters": None,
-                "dimension_separator": ".",
-            },
-        )
-        if attrs:
-            _put_json(store, prefix + ".zattrs", attrs)
-
-        def key(idx):
-            return ".".join(str(i) for i in idx)
-
-    elif zarr_format == 3:
-        base = arr.dtype.str.lstrip("<>|=")
-        name = _V3_DTYPE_NAMES.get(base)
-        if name is None:
-            raise ValueError(f"dtype {arr.dtype} has no zarr v3 core data type")
-        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-        if comp is not None:
-            cid = comp["id"]
-            if cid == "blosc":
-                codecs.append(
-                    {
-                        "name": "blosc",
-                        "configuration": {
-                            "cname": "lz4",
-                            "clevel": 5,
-                            "shuffle": "shuffle",
-                            "typesize": arr.dtype.itemsize,
-                            "blocksize": 0,
-                        },
-                    }
-                )
-            elif cid in ("zlib", "gzip"):
-                # v3 has no zlib codec name; write gzip (wbits=47 reads both)
-                codecs.append({"name": "gzip", "configuration": {"level": 5}})
-                comp = {"id": "gzip", "level": 5}
-            else:
-                raise ValueError(f"compressor {cid!r} unsupported for v3 writes")
-        if checksum:
-            codecs.append({"name": "crc32c"})
-        if transpose is not None:
-            codecs.insert(
-                0, {"name": "transpose", "configuration": {"order": list(transpose)}}
-            )
-        if shards is not None:
-            codecs = [
-                {
-                    "name": "sharding_indexed",
-                    "configuration": {
-                        "chunk_shape": list(chunks),
-                        "codecs": codecs,
-                        "index_codecs": [
-                            {"name": "bytes", "configuration": {"endian": "little"}},
-                            {"name": "crc32c"},
-                        ],
-                        "index_location": "end",
-                    },
-                }
-            ]
-        fv = _fill_json(arr.dtype)
-        _put_json(
-            store,
-            prefix + "zarr.json",
-            {
-                "zarr_format": 3,
-                "node_type": "array",
-                "shape": list(arr.shape),
-                "data_type": name,
-                "chunk_grid": {
-                    "name": "regular",
-                    "configuration": {"chunk_shape": list(shards or chunks)},
-                },
-                "chunk_key_encoding": {
-                    "name": "default",
-                    "configuration": {"separator": "/"},
-                },
-                "fill_value": fv,
-                "codecs": codecs,
-                "attributes": attrs or {},
-            },
-        )
-        arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
-
-        def key(idx):
-            return "c" + "".join("/" + str(i) for i in idx)
-
-    else:
-        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
-    store_chunks = shards if shards is not None else chunks
-    fill = _fill_scalar(_fill_json(arr.dtype), arr.dtype)
-    n_chunks = [-(-s // c) for s, c in zip(arr.shape, store_chunks)]
-    for idx in np.ndindex(*n_chunks):
-        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, store_chunks))
-        block = arr[sel]
-        if block.shape != store_chunks:  # edge chunks are stored full-size
-            full = np.full(store_chunks, fill, arr.dtype)
-            full[tuple(slice(0, s) for s in block.shape)] = block
-            block = full
-        if shards is not None:
-            buf = _encode_v3_shard(
-                block, chunks, comp, arr.dtype.itemsize, fill, checksum=checksum
-            )
-        elif zarr_format == 3:
-            buf = _encode_v3_chunk(
-                block, comp, arr.dtype.itemsize, order=transpose, checksum=checksum
-            )
-        else:
-            buf = _compress(np.ascontiguousarray(block).tobytes(), comp, arr.dtype.itemsize)
-        store[prefix + key(idx)] = buf
-    return ret
+    w = ZarrChunkWriter(
+        store, shape=arr.shape, dtype=arr.dtype, chunks=chunks, shards=shards,
+        compressor=compressor, attrs=attrs, zarr_format=zarr_format, prefix=prefix,
+        checksum=checksum, transpose=transpose,
+    )
+    for idx in np.ndindex(*w.n_chunks):
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, w.store_chunks))
+        w.write_chunk(idx, arr[sel])
+    return store
 
 
 def save_group(

@@ -1035,3 +1035,117 @@ def test_v3_transpose_interop_with_real_zarr(tmp_path, rng):
     )
     za[:] = a
     npt.assert_array_equal(np.asarray(zarrlite.open_array(str(tmp_path / "real.zarr"))), a)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the store -> chip -> store pipeline (VERDICT r4 next #1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("store_kind", ["fs", "dict"])
+def test_pointwise_pipeline_matches_downscaler(tmp_path, rng, store_kind):
+    """run_pointwise_pipeline (chunked, double-buffered, zarr in/out) equals
+    the in-memory PointWiseDownscaler on the same grid, NaN cells preserved,
+    and the output store round-trips through real readers."""
+    import skdownscale_tpu as sdt
+    from skdownscale_tpu.parallel.pipeline import run_pointwise_pipeline
+    from skdownscale_tpu.xlite import DataArray
+
+    T, ny, nx = 120, 6, 4
+    index = pd.date_range("1990-01-01", periods=T, freq="MS")
+    seas = 8.0 * np.sin(2 * np.pi * (index.month.to_numpy() - 1) / 12)
+    X = (283.0 + seas[:, None, None] + rng.normal(0, 2, (T, ny, nx)) + 1.5).astype(np.float32)
+    y = (282.0 + seas[:, None, None] + rng.normal(0, 1.8, (T, ny, nx))).astype(np.float32)
+    X[:, 0, 1] = np.nan  # ocean cell
+    tvals = np.asarray(index, dtype="datetime64[ns]").view(np.int64)
+
+    if store_kind == "dict":
+        sin, sout = {}, {}
+    else:
+        sin, sout = str(tmp_path / "in.zarr"), str(tmp_path / "out.zarr")
+    zarrlite.save_group(sin, {"gcm": X, "obs": y}, zarr_format=3,
+                        chunks={"gcm": (T, 2, nx), "obs": (T, 2, nx)})
+    zarrlite.save_array(sin, tvals, prefix="time", zarr_format=3,
+                        attrs={"kind": "datetime64[ns]"})
+
+    rep = run_pointwise_pipeline(
+        sin, sout, cell_chunk=2 * nx, zarr_format=3, compressor="blosc",
+        checksum=True,
+    )
+    assert rep.n_cells == ny * nx
+    assert rep.n_valid == ny * nx - 1
+    assert rep.n_chunks == 3  # 6 rows / 2 rows per chunk
+    assert rep.wall_s > 0 and rep.device_s > 0 and rep.write_s > 0
+
+    # reference: the in-memory runner on the same grid
+    coords = {"time": index, "y": np.arange(ny), "x": np.arange(nx)}
+    d = sdt.PointWiseDownscaler(sdt.BcsdTemperature(return_anoms=False))
+    d.fit(DataArray(X, ("time", "y", "x"), coords),
+          DataArray(y, ("time", "y", "x"), coords))
+    want = np.asarray(d.predict(DataArray(X, ("time", "y", "x"), coords)).values)
+
+    out = zarrlite.open_group(sout)
+    got = np.asarray(out["corrected"])
+    assert got.shape == (T, ny, nx)
+    npt.assert_allclose(got, want.astype(np.float32), rtol=2e-6, atol=2e-5)
+    assert np.isnan(got[:, 0, 1]).all()
+    # time member round-trips
+    from skdownscale_tpu.parallel.zarr_io import ZarrGridSource
+
+    src = ZarrGridSource(sout, "corrected")
+    assert src.index.equals(index)
+
+
+def test_pipeline_sharded_checksummed_output(tmp_path, rng):
+    """v3 sharded + crc32c output store written chunk-at-a-time reads back
+    exactly (ZarrChunkWriter through the pipeline)."""
+    from skdownscale_tpu.parallel.pipeline import run_pointwise_pipeline
+
+    T, ny, nx = 60, 4, 4
+    index = pd.date_range("1990-01-01", periods=T, freq="MS")
+    seas = 8.0 * np.sin(2 * np.pi * (index.month.to_numpy() - 1) / 12)
+    rg = np.random.default_rng(5)
+    X = (283.0 + seas[:, None, None] + rg.normal(0, 2, (T, ny, nx)) + 1.5).astype(np.float32)
+    y = (282.0 + seas[:, None, None] + rg.normal(0, 1.8, (T, ny, nx))).astype(np.float32)
+    sin = {}
+    zarrlite.save_group(sin, {"gcm": X, "obs": y}, zarr_format=3)
+    zarrlite.save_array(
+        sin, np.asarray(index, dtype="datetime64[ns]").view(np.int64),
+        prefix="time", zarr_format=3, attrs={"kind": "datetime64[ns]"})
+
+    sout = str(tmp_path / "out_sharded.zarr")
+    rep = run_pointwise_pipeline(
+        sin, sout, cell_chunk=2 * nx, zarr_format=3, compressor=None,
+        inner_chunks=(T, 1, nx), checksum=True,
+    )
+    assert rep.n_chunks == 2
+    meta = json.loads((tmp_path / "out_sharded.zarr" / "corrected" / "zarr.json").read_text())
+    assert meta["codecs"][0]["name"] == "sharding_indexed"
+    got = np.asarray(zarrlite.open_array(sout, "corrected"))
+    assert got.shape == (T, ny, nx)
+    assert np.isfinite(got).all()
+    # corrupted shard byte is detected through the checksummed inner chain
+    fp = tmp_path / "out_sharded.zarr" / "corrected" / "c" / "0" / "0" / "0"
+    raw = bytearray(fp.read_bytes())
+    raw[3] ^= 0x10
+    fp.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        np.asarray(zarrlite.open_array(sout, "corrected"))
+
+
+def test_prefetched_order_and_errors(rng):
+    from skdownscale_tpu.utils.prefetch import prefetched
+
+    log = []
+
+    def prep(i):
+        log.append(i)
+        if i == 3:
+            raise RuntimeError("boom")
+        return i * 10
+
+    assert list(prefetched([], prep)) == []
+    assert list(prefetched([7], prep)) == [70]
+    assert list(prefetched([0, 1, 2], prep)) == [0, 10, 20]
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetched([1, 3, 2], prep))
