@@ -772,6 +772,82 @@ def _mbcn_numpy_rate(y, xh, xf, rots, d, n_time, n_probe=4):
     return n_probe / (time.perf_counter() - t0)
 
 
+def bench_mbcn_resident(n_cells=16384, n_time=3650, d=3, n_rot=20, chunk=2048, n_iters=2):
+    """Device-resident sustained MBCn (VERDICT r4 weak #5): the same chunked
+    shape as :func:`bench_mbcn_grid` but with every chunk's data generated ON
+    DEVICE inside the timed loop (the 5b/7b pattern), so the rate measures
+    the compute + per-chunk dispatch and none of this rig's 0.02 GB/s dev
+    tunnel.  Against config 8b's tunnel-bound 75.5 cells/s this isolates the
+    chunking machinery's own overhead and tests the asserted "compute-bound
+    ~406.7 cells/s" projection with a measurement.  Sort-bound accounting is
+    identical to :func:`bench_mbcn` at the chunk shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax import random as jrandom
+
+    from skdownscale_tpu.models.mbc import mbcn_correct, mbcn_rotations
+
+    corr = 0.6 * np.ones((d, d)) + 0.4 * np.eye(d)
+    Lch = np.linalg.cholesky(corr).astype(np.float32)
+    Ld = jax.device_put(Lch)
+    rots = mbcn_rotations(d, n_rot, 0)
+    kinds = ("difference",) * d
+    n_chunks = -(-n_cells // chunk)
+
+    @jax.jit
+    def gen_chunk(key):
+        ky, kh, kf = jrandom.split(key, 3)
+        y = jrandom.normal(ky, (chunk, n_time, d)) @ Ld.T
+        xh = jrandom.normal(kh, (chunk, n_time, d)) * 1.4 + 1.0
+        xf = jrandom.normal(kf, (chunk, n_time, d)) * 1.4 + 1.3
+        return y.astype(jnp.float32), xh.astype(jnp.float32), xf.astype(jnp.float32)
+
+    fn = jax.jit(lambda a, b, c: mbcn_correct(a, b, c, rots, kinds=kinds)[1])
+    chunk_keys = jrandom.split(jrandom.PRNGKey(0), n_chunks)
+
+    def run():
+        s = 0.0
+        for i in range(n_chunks):
+            y, xh, xf = gen_chunk(chunk_keys[i])
+            out = fn(y, xh, xf)
+            del y, xh, xf
+            s += float(jnp.sum(out))
+            del out
+        return s
+
+    run()
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    # measured lax.sort bound at the chunk shape (same counts as bench_mbcn)
+    n = m = p = n_time
+    units = n_cells * d * (
+        (n + m + 4 * n + 4 * p)
+        + n_rot * (m + 4 * n + 8 * (n + p))
+        + 5 * n + 5 * p
+    )
+    keys = jax.device_put(
+        np.random.default_rng(1).standard_normal((chunk * d, n + p)).astype(np.float32)
+    )
+    pay = jnp.zeros(keys.shape, jnp.int32)
+    sortj = jax.jit(
+        lambda k, q: jax.lax.sort((k, q, q, q), num_keys=1, is_stable=True, dimension=1)[0]
+    )
+    float(jnp.sum(sortj(keys, pay)))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(sortj(keys, pay)))
+        ts.append(time.perf_counter() - t0)
+    rate = chunk * d * (n + p) * 4 / min(ts)
+    sort_bound_s = units / rate
+    return n_cells / dt, dt, sort_bound_s, sort_bound_s / dt, n_chunks
+
+
 def bench_mbcn_grid(n_cells=16384, n_time=3650, d=3, n_rot=20, chunk=2048, n_iters=2):
     """Grid-scale MBCn (BASELINE config 8's continental flavor): the full
     ``mbcn_grid`` path — Dataset packing, NaN-cell masking, cell chunking
@@ -1107,6 +1183,26 @@ def main():
                     # per-cell numpy loop a scikit-downscale user would write
                     "vs_baseline": round(cps / ref_cps, 1),
                     "hbm_bytes": None if nbytes != nbytes else round(nbytes),
+                    "sort_bound_s": round(sort_bound_s, 4),
+                    "binding": "lax.sort",
+                    "util_vs_bound": round(util, 3),
+                }
+            )
+        )
+        return
+    if model == "mbcn_res":
+        n = n_cells if len(sys.argv) > 1 else 16384
+        chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+        cps, dt, sort_bound_s, util, n_chunks = bench_mbcn_resident(n_cells=n, chunk=chunk)
+        print(
+            json.dumps(
+                {
+                    "metric": "mbcn_resident_sustained_throughput",
+                    "value": round(cps, 1),
+                    "unit": f"cells/sec sustained ({n_chunks} chunks x {chunk}"
+                    " cells ON-DEVICE data, d=3, 10y daily, 20 rotations,"
+                    " hist+fut corrected — compute + chunk dispatch, no dev"
+                    " tunnel)",
                     "sort_bound_s": round(sort_bound_s, 4),
                     "binding": "lax.sort",
                     "util_vs_bound": round(util, 3),
