@@ -137,7 +137,7 @@ def main():
         shutil.rmtree(out_store, ignore_errors=True)
         rep = run_pointwise_pipeline(
             store, out_store, cell_chunk=cell_chunk, zarr_format=3,
-            compressor="blosc", checksum=True,
+            compressor="blosc", checksum=True, pad_to=cell_chunk,
         )
         if it and (best is None or rep.wall_s < best.wall_s):
             best = rep

@@ -102,6 +102,7 @@ def run_pointwise_pipeline(
     inner_chunks=None,
     checksum: bool = False,
     out_dtype=np.float32,
+    pad_to: int | None = None,
 ) -> PipelineReport:
     """Read a (time, \\*spatial) GCM + obs grid pair from ``store_in``, run
     the model's batched fit+predict cell-chunked on device, and write the
@@ -114,6 +115,13 @@ def run_pointwise_pipeline(
     (so each device pass writes exactly one store object); ``inner_chunks``
     (v3) makes each band a ``sharding_indexed`` shard of that inner chunk
     shape, and ``checksum`` adds verified crc32c to the chunk chain.
+
+    ``pad_to`` pads each chunk's VALID (post-NaN-compaction) cell count up
+    to a multiple by replicating the last valid cell (outputs sliced off),
+    so chunks with a few ocean cells reuse the full chunk's compiled
+    program — a fresh XLA compile costs minutes on the remote-compile rig
+    (the ``cell_bucket`` idea from ``PointWiseDownscaler``, here as a
+    plain multiple).
     """
     import jax
     import jax.numpy as jnp
@@ -189,6 +197,10 @@ def run_pointwise_pipeline(
         ids = np.nonzero(valid)[0]
         xv = np.ascontiguousarray(xc[ids], np.float32)
         yv = np.ascontiguousarray(yc[ids], np.float32)
+        if pad_to and len(ids) % pad_to and len(ids):
+            n_pad = pad_to - len(ids) % pad_to
+            xv = np.concatenate([xv, np.repeat(xv[-1:], n_pad, axis=0)])
+            yv = np.concatenate([yv, np.repeat(yv[-1:], n_pad, axis=0)])
         t2 = time.perf_counter()
         rep.pack_s += t2 - t1
         xd = jax.device_put(xv)[..., None]
@@ -209,7 +221,7 @@ def run_pointwise_pipeline(
         t1 = time.perf_counter()
         rep.device_s += t1 - t0
         full = np.full((hi - lo, T), np.nan, out_dtype)
-        full[ids] = out.reshape(len(ids), T)
+        full[ids] = out.reshape(-1, T)[: len(ids)]  # drop pad_to rows
         block = full.T.reshape(T, (hi - lo) // rest, *spatial[1:])
         writer.write_chunk((0, lo // (rows_per * rest)) + (0,) * (len(spatial) - 1), block)
         rep.write_s += time.perf_counter() - t1

@@ -1149,3 +1149,30 @@ def test_prefetched_order_and_errors(rng):
     assert list(prefetched([0, 1, 2], prep)) == [0, 10, 20]
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetched([1, 3, 2], prep))
+
+
+def test_pipeline_pad_to_reuses_shape(rng):
+    """pad_to pads ragged valid counts to one compiled shape; results match
+    the unpadded run exactly on the valid cells."""
+    from skdownscale_tpu.parallel.pipeline import run_pointwise_pipeline
+
+    T, ny, nx = 60, 4, 4
+    index = pd.date_range("1990-01-01", periods=T, freq="MS")
+    rg = np.random.default_rng(9)
+    X = (283.0 + rg.normal(0, 2, (T, ny, nx))).astype(np.float32)
+    y = (282.0 + rg.normal(0, 1.8, (T, ny, nx))).astype(np.float32)
+    X[:, 0, 0] = np.nan
+    X[:, 2, 3] = np.nan
+    sin = {}
+    zarrlite.save_group(sin, {"gcm": X, "obs": y}, zarr_format=3)
+    zarrlite.save_array(
+        sin, np.asarray(index, dtype="datetime64[ns]").view(np.int64),
+        prefix="time", zarr_format=3, attrs={"kind": "datetime64[ns]"})
+
+    o1, o2 = {}, {}
+    run_pointwise_pipeline(sin, o1, cell_chunk=2 * nx)
+    run_pointwise_pipeline(sin, o2, cell_chunk=2 * nx, pad_to=2 * nx)
+    a1 = np.asarray(zarrlite.open_array(o1, "corrected"))
+    a2 = np.asarray(zarrlite.open_array(o2, "corrected"))
+    npt.assert_array_equal(a1, a2)
+    assert np.isnan(a2[:, 0, 0]).all() and np.isnan(a2[:, 2, 3]).all()
