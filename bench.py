@@ -622,17 +622,38 @@ def bench_quantile(n_cells=65536, n_fit=1460, n_predict=730, n_iters=2):
         times.append(time.perf_counter() - t0)
     dt_ta = min(times)
 
-    # per-cell wrapper-loop baselines (8 cells, linear cost)
+    # per-cell baselines (8 cells, linear cost): the ACTUAL reference
+    # estimators (sklearn/pandas, ref quantile.py:46-157,639-716) when the
+    # reference package imports, else this package's own wrappers
+    try:
+        import sys as _sys
+        import types
+
+        _sys.modules.setdefault("xarray", types.ModuleType("xarray"))
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from skdownscale.pointwise_models import (
+            QuantileMapper as RefQM,
+            QuantileMappingReressor as RefQMR,
+            TrendAwareQuantileMappingRegressor as RefTA,
+        )
+    except Exception:
+        RefQM, RefQMR, RefTA = (
+            QuantileMapper,
+            QuantileMappingReressor,
+            TrendAwareQuantileMappingRegressor,
+        )
     t0 = time.perf_counter()
     for c in range(8):
-        m = QuantileMapper(detrend=True).fit(pd.DataFrame({"v": x[c]}, index=index_fit))
+        m = RefQM(detrend=True).fit(pd.DataFrame({"v": x[c]}, index=index_fit))
         m.transform(pd.DataFrame({"v": xq[c]}, index=index_q))
     ref_qm = 8 / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     for c in range(8):
-        m = TrendAwareQuantileMappingRegressor(
-            QuantileMappingReressor(extrapolate="both")
-        ).fit(pd.DataFrame({"v": x[c]}, index=index_fit), pd.Series(y[c], index=index_fit))
+        m = RefTA(RefQMR(extrapolate="both")).fit(
+            pd.DataFrame({"v": x[c]}, index=index_fit),
+            pd.DataFrame({"v": y[c]}, index=index_fit),
+        )
         m.predict(pd.DataFrame({"v": xq[c]}, index=index_q))
     ref_ta = 8 / (time.perf_counter() - t0)
     return n_cells / dt_qm, dt_qm, ref_qm, n_cells / dt_ta, dt_ta, ref_ta
