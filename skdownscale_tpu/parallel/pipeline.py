@@ -188,15 +188,18 @@ def run_pointwise_pipeline(
     def prep(span):
         lo, hi = span
         t0 = time.perf_counter()
-        xc = gcm.read_cells(lo, hi)  # (n, T) float64
-        yc = obs.read_cells(lo, hi)
+        xc = gcm.read_cells(lo, hi, dtype=np.float32)  # (n, T) contiguous
+        yc = obs.read_cells(lo, hi, dtype=np.float32)
         t1 = time.perf_counter()
         rep.read_s += t1 - t0
         first = xc[:, 0]
         valid = np.isfinite(first)
         ids = np.nonzero(valid)[0]
-        xv = np.ascontiguousarray(xc[ids], np.float32)
-        yv = np.ascontiguousarray(yc[ids], np.float32)
+        if len(ids) == xc.shape[0]:  # no ocean cells in this band: zero-copy
+            xv, yv = xc, yc
+        else:
+            xv = np.ascontiguousarray(xc[ids])
+            yv = np.ascontiguousarray(yc[ids])
         if pad_to and len(ids) % pad_to and len(ids):
             n_pad = pad_to - len(ids) % pad_to
             xv = np.concatenate([xv, np.repeat(xv[-1:], n_pad, axis=0)])

@@ -72,16 +72,20 @@ class ZarrGridSource:
             return pd.DatetimeIndex(vals.view("datetime64[ns]"))
         return pd.Index(vals)
 
-    def read_cells(self, lo: int, hi: int) -> np.ndarray:
+    def read_cells(self, lo: int, hi: int, dtype=np.float64) -> np.ndarray:
         """Rows ``[lo, hi)`` of the flat (C-order) cell axis as ``(hi-lo,
-        n_time)`` float.  Reads only the covering leading-spatial-row block
-        from the store (chunk-aligned IO on the store's own chunking)."""
+        n_time)`` ``dtype``.  Reads only the covering leading-spatial-row
+        block from the store (chunk-aligned IO on the store's own chunking).
+        ``dtype=np.float32`` skips the float64 detour — at continental chunk
+        sizes the upcast+transpose is a measured multi-second host cost in
+        the pipeline's read stage."""
+        dtype = np.dtype(dtype)
         hi = min(hi, self.n_cells)
         if hi <= lo:
-            return np.empty((0, self.n_time), np.float64)
+            return np.empty((0, self.n_time), dtype)
         if not self.spatial_shape:
             blk = self.array.read_block([0], [self.n_time])[None, :]
-            return np.ascontiguousarray(blk.astype(float, copy=False))
+            return np.ascontiguousarray(blk.astype(dtype, copy=False))
         rest = int(np.prod(self.spatial_shape[1:])) if len(self.spatial_shape) > 1 else 1
         r0 = lo // rest
         r1 = -(-hi // rest)
@@ -91,7 +95,8 @@ class ZarrGridSource:
         flat = blk.reshape(self.n_time, -1)
         off = r0 * rest
         sel = flat[:, lo - off : hi - off]
-        return np.ascontiguousarray(sel.T.astype(float, copy=False))
+        # one pass: the transposed view materializes directly at dtype
+        return np.ascontiguousarray(sel.T.astype(dtype, copy=False))
 
 
 def feed_zarr_cells(store: str, mesh, var: str | None = None):
