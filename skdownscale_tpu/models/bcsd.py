@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rolling import rolling_mean_grouped_flat
+from ..ops.rolling import (
+    grouped_rolling_matrix,
+    rolling_mean_grouped_flat,
+    use_rolling_matmul,
+)
 from ..utils.timeindex import PaddedGroups, TimeIndex, padded_doy_groups
 from .base import SingleCellEstimator, asarray_2d
 from .grouped import (
@@ -191,6 +195,30 @@ def bcsd_fit(
     return BcsdState(qm.pp, qm.vals, aux.reshape(*lead, 4 * G))
 
 
+def _climate_trend_rolled(x, plan: _PredictPlan, rolling_window: int, n: int):
+    """The 9-point centered climate-trend rolling mean (``bcsd.py:246-250``),
+    group-bounded by ``plan.rolling``.  On TPU/f32 at monthly scale the whole
+    gather -> masked rolling mean -> inverse-perm scatter pipeline is one
+    host-built ``(n, n)`` matrix applied on the MXU (the unrolled sublane-
+    shifted form measured ~17% of peak HBM bandwidth — see
+    :func:`..ops.rolling.grouped_rolling_matrix`); elsewhere the flat
+    unrolled windowed sum runs as before."""
+    if use_rolling_matmul(x.dtype, n):
+        R = grouped_rolling_matrix(plan.rolling, rolling_window, n)
+        if R is not None:
+            return jax.lax.dot_general(
+                x,
+                jnp.asarray(R.T, x.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    xg = gather_groups(x, plan.rolling, fill=0.0)  # (..., M*Lr)
+    rolled_flat = rolling_mean_grouped_flat(
+        xg, rolling_window, plan.rolling.mask, min_periods=1
+    )
+    return scatter_groups(rolled_flat, plan.rolling, n)
+
+
 def bcsd_predict(
     state: BcsdState,
     x,
@@ -225,13 +253,8 @@ def bcsd_predict(
     fit_valid_aligned = plan.fit.mask[t2f].reshape(-1)
 
     if variable == "temperature":
-        # 9-point centered rolling mean within each climate-trend group —
-        # fully flat 2-D (host segment masks enforce group boundaries)
-        xg = gather_groups(x, plan.rolling, fill=0.0)  # (..., M*Lr)
-        rolled_flat = rolling_mean_grouped_flat(
-            xg, rolling_window, plan.rolling.mask, min_periods=1
-        )
-        rolled = scatter_groups(rolled_flat, plan.rolling, n)
+        # 9-point centered rolling mean within each climate-trend group
+        rolled = _climate_trend_rolled(x, plan, rolling_window, n)
         # remove climatology from the climate trend (bcsd.py:253)
         x_shift = rolled - x_climo[..., plan.shift_labels]
         x_no_shift = x - x_shift
@@ -388,11 +411,7 @@ def bcsd_predict_streaming(
         state_trend = (qm.trend_slope, qm.trend_intercept)
 
     if variable == "temperature":
-        xg = gather_groups(x, plan.rolling, fill=0.0)
-        rolled_flat = rolling_mean_grouped_flat(
-            xg, rolling_window, plan.rolling.mask, min_periods=1
-        )
-        rolled = scatter_groups(rolled_flat, plan.rolling, n)
+        rolled = _climate_trend_rolled(x, plan, rolling_window, n)
         x_shift = rolled - x_climo[..., plan.shift_labels]
         x_no_shift = x - x_shift
     else:

@@ -12,11 +12,20 @@ Functions operate on the last axis and broadcast over leading axes.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rolling_mean", "rolling_std", "rolling_sum_count", "rolling_mean_grouped_flat"]
+__all__ = [
+    "rolling_mean",
+    "rolling_std",
+    "rolling_sum_count",
+    "rolling_mean_grouped_flat",
+    "grouped_rolling_matrix",
+    "use_rolling_matmul",
+]
 
 # Unroll the windowed sum below this many input elements (2.4 GB f32): the
 # unrolled form is one fused HBM pass but lets XLA keep ~w slices of the
@@ -123,6 +132,78 @@ def rolling_mean_grouped_flat(x_flat, window: int, valid: np.ndarray, *, min_per
     denom = jnp.asarray(np.where(cnt > 0, cnt, 1.0), dtype)
     keep = jnp.asarray((cnt >= min_periods) & vflat)
     return jnp.where(keep, s / denom, 0.0)
+
+
+@functools.lru_cache(maxsize=64)
+def grouped_rolling_matrix(groups, window: int, n: int, min_periods: int = 1) -> np.ndarray | None:
+    """Host ``(n, n)`` matrix ``R`` with ``R @ x == scatter_groups(
+    rolling_mean_grouped_flat(gather_groups(x, groups, fill=0.0), window,
+    groups.mask, min_periods=min_periods), groups, n)`` for a PARTITION
+    grouping of ``[0, n)`` — the whole gather -> masked grouped rolling mean
+    -> inverse-permutation scatter pipeline is linear in ``x`` with
+    host-known coefficients, so it collapses to one matrix.
+
+    Why this exists: on TPU the unrolled windowed sum's ``w`` sublane-shifted
+    slices of the padded ``{0,1}``-layout buffer defeat tile reuse — the
+    round-5 profiler capture measured the 9-tap monthly fusion at ~143 GB/s
+    (~17% of peak, 28.2 ms of the 1M-cell pass) while ordinary fusions in
+    the same program moved ~75% of peak.  As a ``(cells, n) x (n, n)``
+    matmul the same map runs on the MXU at HIGHEST precision and the
+    gather/scatter permutations vanish into the matrix.  Worth it only for
+    small ``n`` (monthly T=480; the daily T=7305 matrix would be 213 MB and
+    ~10 TFLOP) — see :func:`use_rolling_matmul`.
+
+    Returns None when the grouping is not an exact partition of ``[0, n)``.
+    """
+    G, L = groups.mask.shape
+    idx = groups.indices.reshape(-1).astype(np.int64)
+    msk = groups.mask.reshape(-1)
+    flatN = G * L
+    tgt = idx[msk]
+    if tgt.size != n or not np.array_equal(np.sort(tgt), np.arange(n)):
+        return None
+    lo = -(window // 2)
+    hi = (window - 1) // 2
+    w = hi - lo + 1
+    pos = np.arange(flatN)
+    R_flat = np.zeros((flatN, n), np.float64)
+    cnt = np.zeros(flatN, np.float64)
+    for j in range(w):
+        src = pos + lo + j
+        ok = (src >= 0) & (src < flatN) & ((src // L) == (pos // L))
+        oksrc = src[ok]
+        vsrc = msk[oksrc]
+        rows = pos[ok][vsrc]
+        np.add.at(R_flat, (rows, idx[oksrc][vsrc]), 1.0)
+        cnt[pos[ok][vsrc]] += 1.0
+    denom = np.where(cnt > 0, cnt, 1.0)
+    keep = (cnt >= min_periods) & msk
+    R_flat = np.where(keep[:, None], R_flat / denom[:, None], 0.0)
+    inv = np.zeros(n, np.int64)
+    inv[tgt] = np.nonzero(msk)[0]
+    return np.ascontiguousarray(R_flat[inv])
+
+
+# test hook: True/False forces the matmul grouped-rolling path regardless of
+# platform/dtype (size and partition checks still apply); None = platform gate
+_MATMUL_OVERRIDE: bool | None = None
+
+
+def use_rolling_matmul(dtype, n: int) -> bool:
+    """Gate for the matmul form of the grouped rolling mean: TPU + float32
+    (HIGHEST-precision MXU matmul ~ f32 accuracy) and ``n`` small enough
+    that the dense ``(n, n)`` matrix and its FLOPs stay negligible."""
+    if n > 2048:
+        return False
+    if _MATMUL_OVERRIDE is not None:
+        return _MATMUL_OVERRIDE
+    if dtype not in (jnp.float32, np.dtype("float32")):
+        return False
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except Exception:  # pragma: no cover - backend init failure
+        platform = "cpu"
+    return platform not in ("cpu", "gpu")
 
 
 def rolling_sum_count(x, valid, window: int, center: bool = True):

@@ -182,6 +182,58 @@ def test_rolling_grouped_flat_unroll_matches_fori(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_grouped_rolling_matrix_matches_pipeline(rng):
+    """``grouped_rolling_matrix`` (the TPU MXU form) must reproduce the full
+    gather -> masked grouped rolling mean -> inverse-perm scatter pipeline
+    on ragged partitions, and the matmul-dispatched BCSD climate trend must
+    match the unrolled dispatch."""
+    import pandas as pd
+
+    from skdownscale_tpu.models.bcsd import BcsdTemperature, _climate_trend_rolled
+    from skdownscale_tpu.models.grouped import gather_groups, scatter_groups
+    from skdownscale_tpu.ops import rolling as R
+    from skdownscale_tpu.utils.timeindex import PaddedGroups
+
+    # ragged partition of [0, n): shuffled contiguous runs
+    n, G = 97, 6
+    cuts = np.sort(rng.choice(np.arange(1, n), G - 1, replace=False))
+    pieces = np.split(rng.permutation(n), cuts)
+    L = max(len(p) for p in pieces)
+    idx = np.zeros((G, L), np.int32)
+    msk = np.zeros((G, L), bool)
+    for g, p in enumerate(pieces):
+        idx[g, : len(p)] = np.sort(p)
+        msk[g, : len(p)] = True
+    groups = PaddedGroups(idx, msk, msk.sum(1).astype(np.int32), np.arange(G))
+
+    Rm = R.grouped_rolling_matrix(groups, 9, n)
+    assert Rm is not None
+    x = jnp.asarray(rng.normal(size=(4, n)))
+    want = scatter_groups(
+        R.rolling_mean_grouped_flat(
+            gather_groups(x, groups, fill=0.0), 9, msk, min_periods=1
+        ),
+        groups,
+        n,
+    )
+    got = x @ jnp.asarray(Rm.T)
+    npt.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-12)
+
+    # model-level dispatch: monthly climate-trend plan, matmul vs unrolled
+    index = pd.date_range("1990-01-01", periods=120, freq="MS")
+    model = BcsdTemperature(return_anoms=False)
+    plan = model._predict_plan(model._fit_groups(index), index)
+    xs = jnp.asarray(rng.normal(size=(3, 120)))
+    base = _climate_trend_rolled(xs, plan, 9, 120)
+    saved = R._MATMUL_OVERRIDE
+    try:
+        R._MATMUL_OVERRIDE = True
+        forced = _climate_trend_rolled(xs, plan, 9, 120)
+    finally:
+        R._MATMUL_OVERRIDE = saved
+    npt.assert_allclose(np.asarray(forced), np.asarray(base), rtol=0, atol=1e-12)
+
+
 def test_psolve_analytic_matches_eigh(rng):
     """The analytic 1x1/2x2 _psolve paths must reproduce the eigh-pinv
     (same spectral cutoff) including rank-deficient and isotropic cases."""
