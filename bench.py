@@ -407,11 +407,14 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31, cells_per_pass
     (measured on a subset; the reference's per-cell xarray path is strictly
     slower than that).
 
-    Above ``cells_per_pass`` (32k is the single-pass HBM ceiling — 65k
-    measured ResourceExhausted) the run chunks the cell axis like the
-    batched registry and reports SUSTAINED cells/s including the host chunk
-    loop; chunk data is generated on device for the same tunnel reason as
-    :func:`bench_daily`."""
+    Above ``cells_per_pass`` (65k is the single-pass HBM ceiling since the
+    round-5 pool-first rewrite — AOT ``memory_analysis`` at 65,536 cells:
+    fit peak 7.7 GB, predict peak 9.8 GB of ~15.7 usable; 131k would need
+    ~15.4 GB for fit alone plus the resident inputs.  Before pool-first,
+    32k was the ceiling and 65k measured ResourceExhausted) the run chunks
+    the cell axis like the batched registry and reports SUSTAINED cells/s
+    including the host chunk loop; chunk data is generated on device for
+    the same tunnel reason as :func:`bench_daily`."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
@@ -1162,12 +1165,11 @@ def main():
         )
         return
     if model == "zscore":
-        # 32k/pass: fit materializes several (cells, years, 368) buffers and
-        # predict several (cells, 7305) rolling planes — 65k measured
-        # ResourceExhausted on the 16 GB chip.  Larger grids chunk via the
-        # batched registry / cell_chunk_size.
+        # 65k/pass since pool-first: predict's (cells, 7305) rolling planes
+        # now dominate (9.8 GB peak at 65k); fit's pooled tables are small.
+        # Larger grids chunk via the batched registry / cell_chunk_size.
         n = n_cells if len(sys.argv) > 1 else 32768
-        cpp = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+        cpp = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
         n_chunks = -(-n // min(cpp, n))
         cps, dt, nbytes, ref_cps = bench_zscore(n_cells=n, cells_per_pass=cpp)
         bw = _device_peak_bw()
