@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rolling import _window_sum, rolling_mean, rolling_std
+from ..ops.rolling import _window_sum, rolling_mean_std
 from .base import SingleCellEstimator, asarray_2d
 
 __all__ = ["ZScoreRegressor", "zscore_fit", "zscore_predict", "build_year_doy_table"]
@@ -115,8 +115,10 @@ def zscore_fit(x, y, idx, mask, *, window: int = 31) -> ZScoreState:
 @functools.partial(jax.jit, static_argnames=("window",))
 def zscore_predict(state: ZScoreState, x, expand_inds, *, window: int = 31):
     """``ZScoreRegressor.predict`` core (``zscore.py:71-112``)."""
-    fut_mean = rolling_mean(x, window, center=True)  # min_periods=window -> NaN edges
-    fut_std = rolling_std(x, window, center=True, ddof=1)
+    # min_periods=window -> NaN edges, ddof=1 (zscore.py:267-269); the fused
+    # form shares the windowed sums and, on TPU/f32 long rows, runs all
+    # three as one stacked blocked-banded MXU matmul (ops/rolling.py)
+    fut_mean, fut_std = rolling_mean_std(x, window, center=True, ddof=1)
     fut_zscore = (x - fut_mean) / fut_std
     shift_exp = state.shift[expand_inds]
     scale_exp = state.scale[expand_inds]

@@ -21,10 +21,12 @@ import numpy as np
 __all__ = [
     "rolling_mean",
     "rolling_std",
+    "rolling_mean_std",
     "rolling_sum_count",
     "rolling_mean_grouped_flat",
     "grouped_rolling_matrix",
     "use_rolling_matmul",
+    "use_stats_matmul",
 ]
 
 # Unroll the windowed sum below this many input elements (2.4 GB f32): the
@@ -231,6 +233,156 @@ def rolling_mean(x, window: int, *, center: bool = True, min_periods: int | None
     s, c = rolling_sum_count(x, valid, window, center)
     mean = s / jnp.where(c > 0, c, 1)
     return jnp.where(c >= mp, mean, jnp.nan)
+
+
+# test hook mirroring _MATMUL_OVERRIDE for the blocked-banded stats form
+_STATS_MATMUL_OVERRIDE: bool | None = None
+
+_STATS_BLOCK = 128  # lane width; one output block reads two input blocks
+
+
+def use_stats_matmul(dtype, n: int, window: int) -> bool:
+    """Gate for the blocked-banded MXU form of the long-row rolling
+    mean/std: TPU + float32, the window must fit one neighbour block
+    (``w - 1 <= 128``), and the row must be long enough that the per-block
+    matmul amortizes (short rows stay on the fused unrolled slices)."""
+    if window > _STATS_BLOCK + 1 or n < 4 * _STATS_BLOCK:
+        return False
+    if _STATS_MATMUL_OVERRIDE is not None:
+        return _STATS_MATMUL_OVERRIDE
+    if dtype not in (jnp.float32, np.dtype("float32")):
+        return False
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except Exception:  # pragma: no cover - backend init failure
+        platform = "cpu"
+    return platform not in ("cpu", "gpu")
+
+
+@functools.lru_cache(maxsize=32)
+def _stats_band_weights(window: int, center: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Host ``(B, B)`` 0/1 band matrices ``(W0, W1)`` with
+    ``y[kB + t] = (xb[k] @ W0)[t] + (xb[k+1] @ W1)[t]`` where
+    ``xb`` are non-overlapping B-blocks of the zero-padded input and
+    ``y[i] = sum_{j=0..w-1} xp[i + j]`` (the centered windowed sum)."""
+    if center:
+        lo = -(window // 2)
+        hi = (window - 1) // 2
+    else:
+        lo = -(window - 1)
+        hi = 0
+    w = hi - lo + 1
+    B = _STATS_BLOCK
+    u = np.arange(B)[:, None]
+    t = np.arange(B)[None, :]
+    W0 = ((t <= u) & (u <= t + w - 1)).astype(np.float64)
+    W1 = ((t <= u + B) & (u + B <= t + w - 1)).astype(np.float64)
+    return W0, W1
+
+
+def _window_sums_matmul(planes, n: int, window: int, center: bool):
+    """Centered windowed sum of each plane via two banded ``(B, B)``
+    matmuls per block — the MXU form of :func:`_window_sum`.
+
+    Why: the unrolled form's ``w`` sublane-shifted slices of the padded
+    buffer defeat tile reuse (round-5 profiler: ~17% of peak HBM bandwidth
+    on such fusions), and at ``w = 31`` the slice forest is ~2/3 of the
+    z-score predict pass.  Blocked into non-overlapping 128-wide time
+    blocks, the same map is ``y_k = xb_k @ W0 + xb_{k+1} @ W1`` — two
+    HIGHEST-precision MXU matmuls reading each input element exactly
+    twice.  Each output is a fresh tree-reduced ``w``-term sum (no cumsum
+    cancellation; if anything, better-conditioned than the sequential
+    slice adds).
+
+    ``planes``: (..., n) stacked sum operands; returns (..., n) sums.
+    """
+    if center:
+        lo = -(window // 2)
+        hi = (window - 1) // 2
+    else:
+        lo = -(window - 1)
+        hi = 0
+    B = _STATS_BLOCK
+    Kout = -(-n // B)
+    # xp[i] = x[i + lo] zero-padded; blocks need Kout*B + B entries
+    pad_hi = Kout * B + B - (-lo + n)
+    xp = jnp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(-lo, pad_hi)])
+    xb = xp.reshape(*planes.shape[:-1], Kout + 1, B)
+    W0, W1 = _stats_band_weights(window, center)
+    w0 = jnp.asarray(W0, planes.dtype)
+    w1 = jnp.asarray(W1, planes.dtype)
+    nd = xb.ndim
+    # both dots read the SAME xb buffer; the k-shift is applied to the dot
+    # OUTPUTS (slices fused into the add) — input-side shifted slices would
+    # materialize two full copies of the padded buffer
+    z0 = jax.lax.dot_general(
+        xb, w0, (((nd - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    z1 = jax.lax.dot_general(
+        xb, w1, (((nd - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = z0[..., :Kout, :] + z1[..., 1 : Kout + 1, :]
+    return y.reshape(*planes.shape[:-1], Kout * B)[..., :n]
+
+
+def rolling_mean_std(
+    x, window: int, *, center: bool = True, min_periods: int | None = None, ddof: int = 1
+):
+    """Centered rolling mean AND std in one pass, sharing the windowed
+    sums (the separate :func:`rolling_mean` + :func:`rolling_std` calls
+    each re-run the ``sum(x)``/count sums — one full-plane windowed sum
+    wasted).  pandas semantics: ``min_periods`` defaults to ``window``
+    (NaN edges), NaN inputs poison every window they touch, ``ddof=1``
+    default (``zscore.py:267-269``).
+
+    On TPU/f32 long rows the three windowed sums (``x``, ``x^2``, NaN
+    count) run as ONE stacked blocked-banded MXU matmul
+    (:func:`_window_sums_matmul`); elsewhere the fused unrolled slice form
+    of :func:`_window_sum` is used with the sums shared.
+    """
+    mp = window if min_periods is None else min_periods
+    n = x.shape[-1]
+    # center per row before squaring: kills the f32 cancellation in
+    # ``s2 - c*m^2`` (raw squares of ~283 K temperatures are ~2.5e6 against
+    # a true windowed ss of ~1e2 — the separate rolling_std carries ~1%
+    # f32 std error from this); mean/std are shift-equivariant/-invariant,
+    # so add mu0 back at the end
+    mu0 = jnp.nanmean(x, axis=-1, keepdims=True)
+    xm = x - mu0
+    if use_stats_matmul(x.dtype, n, window):
+        nanmask = jnp.isnan(x)
+        xc = jnp.where(nanmask, jnp.zeros_like(x), xm)
+        # sequential per-plane calls: a stacked (3, C, n) operand costs 3x
+        # the padded-buffer + dot-output temps SIMULTANEOUSLY and blows the
+        # 65k-cell single-pass HBM budget; XLA frees between these
+        s = _window_sums_matmul(xc, n, window, center)
+        s2 = _window_sums_matmul(xc * xc, n, window, center)
+        nan_hits = _window_sums_matmul(nanmask.astype(x.dtype), n, window, center)
+        poison = nan_hits > 0.5
+    else:
+        s = _window_sum(xm, window, center)
+        s2 = _window_sum(xm * xm, window, center)
+        # NaN x propagates through s/s2 exactly like the separate calls
+        poison = None
+    # positional window count (valid=None): pure function of (n, window)
+    c = _window_sum(jnp.ones((n,), x.dtype), window, center)
+    c = jnp.broadcast_to(c, x.shape)
+    cc = jnp.where(c > 0, c, 1)
+    mean_raw = s / cc
+    ss = s2 - 2 * mean_raw * s + c * mean_raw * mean_raw
+    var = jnp.maximum(ss, 0.0) / jnp.maximum(c - ddof, 1)
+    std_raw = jnp.sqrt(var)
+    bad_mean = c < mp
+    bad_std = (c < mp) | (c <= ddof)
+    if poison is not None:
+        bad_mean = bad_mean | poison
+        bad_std = bad_std | poison
+    mean_raw = mean_raw + mu0
+    mean = jnp.where(bad_mean, jnp.nan, mean_raw)
+    std = jnp.where(bad_std, jnp.nan, std_raw)
+    return mean, std
 
 
 def rolling_std(

@@ -161,6 +161,32 @@ class TestRolling:
         got = np.asarray(rolling_std(jnp.asarray(s.to_numpy()), window))
         npt.assert_allclose(got, expected.to_numpy(), rtol=1e-7, equal_nan=True)
 
+    @pytest.mark.parametrize("matmul", [False, True])
+    @pytest.mark.parametrize("window", [9, 30, 31])
+    def test_mean_std_fused_matches_pandas(self, rng, matmul, window):
+        """Both dispatch branches of ``rolling_mean_std`` (shared unrolled
+        sums / blocked-banded MXU matmul) against pandas, incl. NaN inputs
+        poisoning exactly the windows they touch (min_periods=window)."""
+        from skdownscale_tpu.ops import rolling as R
+
+        n = 700  # long enough for the matmul gate's n >= 4*B
+        v = 283.0 + rng.normal(size=n)
+        v[100] = np.nan
+        v[:3] = np.nan
+        s = pd.Series(v)
+        exp_m = s.rolling(window, center=True).mean().to_numpy()
+        exp_s = s.rolling(window, center=True).std().to_numpy()
+        saved = R._STATS_MATMUL_OVERRIDE
+        try:
+            R._STATS_MATMUL_OVERRIDE = matmul
+            m, sd = R.rolling_mean_std(jnp.asarray(v), window, ddof=1)
+        finally:
+            R._STATS_MATMUL_OVERRIDE = saved
+        npt.assert_array_equal(np.isnan(np.asarray(m)), np.isnan(exp_m))
+        npt.assert_array_equal(np.isnan(np.asarray(sd)), np.isnan(exp_s))
+        npt.assert_allclose(np.asarray(m), exp_m, rtol=1e-10, equal_nan=True)
+        npt.assert_allclose(np.asarray(sd), exp_s, rtol=1e-8, equal_nan=True)
+
 
 def test_rolling_grouped_flat_unroll_matches_fori(rng):
     """The size-gated unrolled window sum (ops/rolling.py:_UNROLL_ELEMS)

@@ -127,3 +127,23 @@ def test_fit_stats_any_window(daily, window):
     x_mean, x_std = numpy_ref_stats(X["t"], window)
     npt.assert_allclose(m.fit_stats_dict_["X_mean"], x_mean, rtol=1e-9)
     npt.assert_allclose(m.fit_stats_dict_["X_std"], x_std, rtol=1e-9)
+
+
+def test_predict_stats_matmul_dispatch_parity(daily):
+    """The blocked-banded MXU form of the predict rolling mean/std
+    (ops/rolling.py:rolling_mean_std matmul branch) must reproduce the
+    shared-unrolled-sums form through the model, NaN pattern included."""
+    from skdownscale_tpu.ops import rolling as R
+
+    X, y = daily
+    m = ZScoreRegressor().fit(X, y)
+    saved = R._STATS_MATMUL_OVERRIDE
+    try:
+        R._STATS_MATMUL_OVERRIDE = False
+        base = m.predict(X).to_numpy()
+        R._STATS_MATMUL_OVERRIDE = True
+        forced = m.predict(X).to_numpy()
+    finally:
+        R._STATS_MATMUL_OVERRIDE = saved
+    npt.assert_array_equal(np.isnan(forced), np.isnan(base))
+    npt.assert_allclose(forced, base, rtol=0, atol=1e-10, equal_nan=True)
