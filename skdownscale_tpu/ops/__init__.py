@@ -20,7 +20,12 @@ from skdownscale_tpu.ops.regression import (
     ols_predict_1d,
     rmse,
 )
-from skdownscale_tpu.ops.rolling import rolling_mean, rolling_std, rolling_sum_count
+from skdownscale_tpu.ops.rolling import (
+    rolling_mean,
+    rolling_mean_std,
+    rolling_std,
+    rolling_sum_count,
+)
 
 __all__ = [
     "Cdf",
@@ -44,6 +49,7 @@ __all__ = [
     "ols_predict_1d",
     "rmse",
     "rolling_mean",
+    "rolling_mean_std",
     "rolling_std",
     "rolling_sum_count",
 ]
