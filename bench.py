@@ -278,8 +278,17 @@ def bench_daily(
 
         chunk_keys = jrandom.split(jrandom.PRNGKey(0), n_chunks)
 
+    # depth-2 dispatch pipeline (the bench_zscore pattern): enqueue chunk i
+    # before blocking on chunk i-1's checksum, bounding live HBM to two
+    # chunks.  Daily's scan budget is ~0.23 GB per 1k cells (BASELINE
+    # "Daily single-pass HBM budget"), so two in-flight chunks only fit
+    # below ~24k cells/chunk; above that the loop stays serial (an axon
+    # OOM wedges the tunnel).
+    pipelined = not resident and cp <= 24576
+
     def run():
         s = 0.0
+        pend = None
         for i in range(n_chunks):
             if resident:
                 xd, yd = xs[i], ys[i]
@@ -290,9 +299,16 @@ def bench_daily(
                 del yd  # raw y freed once the fit matmuls consume it
             out = predj(state, xd)
             del state  # fat y copy freed once the slide kernel consumes it
-            s += float(jnp.sum(out))
-            del out, xd
-        return s
+            if pipelined:
+                cur = jnp.sum(out)
+                del out, xd
+                if pend is not None:
+                    s += float(pend)
+                pend = cur
+            else:
+                s += float(jnp.sum(out))
+                del out, xd
+        return s if pend is None else s + float(pend)
 
     run()
     times = []
@@ -407,14 +423,20 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31, cells_per_pass
     (measured on a subset; the reference's per-cell xarray path is strictly
     slower than that).
 
-    Above ``cells_per_pass`` (65k is the single-pass HBM ceiling since the
-    round-5 pool-first rewrite — AOT ``memory_analysis`` at 65,536 cells:
-    fit peak 7.7 GB, predict peak 9.8 GB of ~15.7 usable; 131k would need
-    ~15.4 GB for fit alone plus the resident inputs.  Before pool-first,
-    32k was the ceiling and 65k measured ResourceExhausted) the run chunks
-    the cell axis like the batched registry and reports SUSTAINED cells/s
-    including the host chunk loop; chunk data is generated on device for
-    the same tunnel reason as :func:`bench_daily`."""
+    Above ``cells_per_pass`` the run chunks the cell axis like the batched
+    registry and reports SUSTAINED cells/s including the host chunk loop;
+    chunk data is generated on device for the same tunnel reason as
+    :func:`bench_daily`.  The chunked loop runs a DEPTH-2 dispatch
+    pipeline (chunk i enqueued before blocking on chunk i-1's checksum),
+    so live HBM is TWO chunks: at the default 32k/pass that is ~10 GB and
+    the sustained rate EXCEEDS the 65k single-pass rate (347,886 vs
+    315,481 cells/s measured at 262k — dispatch fully hidden); forcing
+    ``cells_per_pass=65536`` with multiple chunks would put 2 x (fit 7.7 +
+    predict 9.8 GB peaks) in flight and can ResourceExhaust.  65k is the
+    single-pass (one-chunk) HBM ceiling since the round-5 pool-first
+    rewrite — AOT ``memory_analysis`` at 65,536 cells: fit peak 7.7 GB,
+    predict peak 9.8 GB of ~15.7 usable; 131k would need ~15.4 GB for fit
+    alone plus the resident inputs."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
@@ -467,16 +489,27 @@ def bench_zscore(n_cells=32768, n_years=20, n_iters=3, window=31, cells_per_pass
         chunk_keys = jrandom.split(jrandom.PRNGKey(0), n_chunks)
 
         def run():
+            # depth-2 dispatch pipeline: chunk i's programs are enqueued
+            # BEFORE blocking on chunk i-1's checksum, so the host loop's
+            # dispatch (and the axon tunnel's RPC latency) overlaps device
+            # execution.  Reading the previous scalar before dispatching
+            # i+1 bounds live buffers to TWO chunks (the unbounded variant
+            # would enqueue every chunk's allocations up front and OOM at
+            # the per-pass HBM ceiling).
             s = 0.0
+            pend = None
             for i in range(n_chunks):
                 xd_, yd_ = gen_chunk(chunk_keys[i])
                 state = fitj(xd_, yd_)
                 del yd_
                 out = predj(state, xd_)
                 del state
-                s += float(jnp.nansum(out))
+                cur = jnp.nansum(out)
                 del out, xd_
-            return s
+                if pend is not None:
+                    s += float(pend)
+                pend = cur
+            return s + float(pend)
 
     run()
     times = []
@@ -1165,11 +1198,11 @@ def main():
         )
         return
     if model == "zscore":
-        # 65k/pass since pool-first: predict's (cells, 7305) rolling planes
-        # now dominate (9.8 GB peak at 65k); fit's pooled tables are small.
-        # Larger grids chunk via the batched registry / cell_chunk_size.
+        # single pass up to 65k cells since pool-first; chunked runs use
+        # 32k/pass so the depth-2 dispatch pipeline's two in-flight chunks
+        # fit HBM (see bench_zscore docstring).
         n = n_cells if len(sys.argv) > 1 else 32768
-        cpp = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+        cpp = int(sys.argv[3]) if len(sys.argv) > 3 else (65536 if n_cells <= 65536 else 32768)
         n_chunks = -(-n // min(cpp, n))
         cps, dt, nbytes, ref_cps = bench_zscore(n_cells=n, cells_per_pass=cpp)
         bw = _device_peak_bw()
